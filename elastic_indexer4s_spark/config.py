@@ -1,0 +1,95 @@
+"""Engine configuration.
+
+Mirrors the reference's config surface (`ElasticWriteConfig.scala:11-36`:
+endpoints / index prefix / mapping / batch size 50 / concurrency 10 /
+retries 5 / log interval / publish wait) re-expressed for Spark: the ES
+cluster knobs become partitioning knobs, the analyzer config becomes a
+tokenizer spec, and the BM25 parameters (delegated to ES 6.x defaults in the
+reference, never overridden) become explicit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from datetime import datetime, timezone
+import json
+import os
+
+
+@dataclass(frozen=True)
+class TokenizerConfig:
+    """Analyzer spec (reference: `MappingSetting.scala:13`, README.md:98-112).
+
+    Code-aware defaults per the north-star: camelCase + snake_case splitting,
+    lowercase, length filter.
+    """
+
+    split_camel: bool = True
+    split_snake: bool = True
+    lowercase: bool = True
+    min_len: int = 2
+    max_len: int = 64
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Per-index build configuration.
+
+    * ``index_prefix`` + run timestamp names the generation, mirroring
+      ``indexName = esIndexPrefix + "_" + yyyy-MM-dd't'HH:mm:ss``
+      (`ElasticWriteConfig.scala:23`).
+    * ``num_shards`` = document-hash partitions of the index, the Spark
+      equivalent of ES shards (`MappingSetting.scala:15`).  Each shard holds
+      the full term dictionary for its slice of documents; queries fan out
+      over shards and merge top-k — the same document-partitioned layout ES
+      uses, which is what keeps any single posting list bounded at 10^12-file
+      scale.
+    * ``k1`` / ``b`` — BM25 parameters (ES 6.x defaults, delegated by the
+      reference; Lucene BM25 k1=1.2 b=0.75).
+    * ``hot_term_df`` — document-frequency threshold above which a term is
+      treated as a skewed "hot" key and salted into bounded sub-segments
+      during the grouped build path (SURVEY §2 B4).
+    * ``block_size`` — postings per block for the block-max WAND layout.
+    """
+
+    index_prefix: str = "docs"
+    num_shards: int = 8
+    k1: float = 1.2
+    b: float = 0.75
+    tokenizer: TokenizerConfig = field(default_factory=TokenizerConfig)
+    hot_term_df: int = 10_000
+    salt_span: int = 8_192  # docs per salt bucket for hot terms
+    block_size: int = 128
+    on_error: str = "fail"  # or "skip" — reference's Decider (ElasticIndexer4s.scala:45-48)
+
+    def generation_name(self, run_ts: str | None = None) -> str:
+        ts = run_ts or datetime.now(timezone.utc).strftime("%Y-%m-%d't'%H.%M.%S")
+        return f"{self.index_prefix}_{ts}"
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "IndexConfig":
+        d = json.loads(s)
+        tok = TokenizerConfig(**d.pop("tokenizer"))
+        return IndexConfig(tokenizer=tok, **d)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Top-level engine config: where the source table lives and where index
+    generations are written (reference: `ElasticWriteConfig` endpoints +
+    prefix)."""
+
+    source_path: str
+    index_root: str
+    index: IndexConfig = field(default_factory=IndexConfig)
+    # publish gate defaults, reference `IndexableStream.scala:19` /
+    # `AliasSwitching.scala:54` (README.md:125-129)
+    min_threshold: float = 0.95
+    max_threshold: float = 1.25
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

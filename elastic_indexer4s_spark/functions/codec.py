@@ -1,0 +1,255 @@
+"""Posting-list codec: delta + varint, blocked for block-max WAND.
+
+The reference delegates posting storage to Lucene (via ES); this module is
+the engine-native equivalent (SURVEY §2 B2/B7).  Everything is vectorized
+NumPy — no per-value Python in encode or decode.
+
+Blob layout (one posting list = one ``EncodedPostings``):
+
+* postings are (doc_id, tf, dl) triples in strictly ascending doc_id order,
+  chunked into blocks of ≤ ``block_size`` postings;
+* ``doc_blob``  — varint stream; within each block the FIRST value is the
+  absolute doc_id, the rest are gaps ``doc_id[i] - doc_id[i-1]``;
+* ``tf_blob``   — varint stream of term frequencies, same block boundaries;
+* ``dl_blob``   — varint stream of document lengths (the BM25 length norm,
+  stored inline like Lucene's norms file so query-time scoring needs NO join
+  against a doc-length table);
+* per-block sidecar arrays (kept as Spark array columns, not packed):
+  ``block_last``   last doc_id per block  → WAND skip pointer,
+  ``block_maxtf``  max tf per block       → block-max score bound,
+  ``block_min_dl`` min dl per block       → tightens the bound (score is
+                   decreasing in dl, so f(maxtf, mindl) upper-bounds the block),
+  ``block_count``  postings per block,
+  ``block_doc_off`` / ``block_tf_off`` / ``block_dl_off`` byte offsets.
+
+Because every block's first doc_id is absolute, two encoded lists covering
+disjoint ascending doc_id ranges merge by pure concatenation (byte-append +
+offset shift) — this is what makes salted hot-term sub-segments (SURVEY §2
+B4) mergeable without re-encoding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+_U64 = np.uint64
+_SEVEN = _U64(7)
+_MASK7 = _U64(0x7F)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized (≤10 passes)."""
+    a = np.ascontiguousarray(values, dtype=_U64)
+    if a.size == 0:
+        return b""
+    lens = np.ones(a.size, dtype=np.int64)
+    x = a >> _SEVEN
+    while x.any():
+        lens += (x > 0).astype(np.int64)
+        x >>= _SEVEN
+    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    out = np.zeros(int(lens.sum()), dtype=np.uint8)
+    vals = a.copy()
+    for k in range(int(lens.max())):
+        mask = lens > k
+        idx = starts[mask] + k
+        byte = (vals[mask] & _MASK7).astype(np.uint8)
+        cont = (lens[mask] > k + 1).astype(np.uint8)
+        out[idx] = byte | (cont << 7)
+        vals[mask] >>= _SEVEN
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode an LEB128 stream to uint64, fully vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=_U64)
+    ends = np.nonzero((b & 0x80) == 0)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    owner_start = np.repeat(starts, ends - starts + 1)
+    shifts = ((np.arange(b.size) - owner_start) * 7).astype(_U64)
+    parts = (b & 0x7F).astype(_U64) << shifts
+    return np.add.reduceat(parts, starts)
+
+
+def _blocked_varint(vals: np.ndarray, starts: np.ndarray,
+                    ends: np.ndarray) -> tuple[bytes, np.ndarray]:
+    parts = [varint_encode(vals[s:e]) for s, e in zip(starts, ends)]
+    off = np.concatenate(([0], np.cumsum([len(p) for p in parts])[:-1])).astype(np.int64)
+    return b"".join(parts), off
+
+
+@dataclass
+class EncodedPostings:
+    df: int
+    doc_blob: bytes
+    tf_blob: bytes
+    dl_blob: bytes
+    block_last: np.ndarray     # int64 per block
+    block_maxtf: np.ndarray    # int64 per block
+    block_min_dl: np.ndarray   # int64 per block
+    block_count: np.ndarray    # int32 per block
+    block_doc_off: np.ndarray  # int64 byte offsets into doc_blob
+    block_tf_off: np.ndarray   # int64 byte offsets into tf_blob
+    block_dl_off: np.ndarray   # int64 byte offsets into dl_blob
+
+
+def _empty() -> EncodedPostings:
+    z = np.empty(0, dtype=np.int64)
+    return EncodedPostings(0, b"", b"", b"", z, z, z, z.astype(np.int32), z, z, z)
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                    block_size: int = 128) -> EncodedPostings:
+    """Encode one posting list. ``doc_ids`` must be strictly ascending."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    n = doc_ids.size
+    if n == 0:
+        return _empty()
+    n_blocks = (n + block_size - 1) // block_size
+    block_starts = np.arange(n_blocks) * block_size
+    block_ends = np.minimum(block_starts + block_size, n)
+    # deltas, with block-leading positions reset to absolute doc_id
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = doc_ids[0]
+    deltas[1:] = np.diff(doc_ids)
+    deltas[block_starts] = doc_ids[block_starts]
+
+    doc_blob, doc_off = _blocked_varint(deltas, block_starts, block_ends)
+    tf_blob, tf_off = _blocked_varint(tfs, block_starts, block_ends)
+    dl_blob, dl_off = _blocked_varint(dls, block_starts, block_ends)
+    return EncodedPostings(
+        df=int(n),
+        doc_blob=doc_blob,
+        tf_blob=tf_blob,
+        dl_blob=dl_blob,
+        block_last=doc_ids[block_ends - 1],
+        block_maxtf=np.maximum.reduceat(tfs, block_starts).astype(np.int64),
+        block_min_dl=np.minimum.reduceat(dls, block_starts).astype(np.int64),
+        block_count=(block_ends - block_starts).astype(np.int32),
+        block_doc_off=doc_off,
+        block_tf_off=tf_off,
+        block_dl_off=dl_off,
+    )
+
+
+def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a full posting list → (doc_ids ascending, tfs, dls), int64."""
+    if enc.df == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    deltas = varint_decode(enc.doc_blob).astype(np.int64)
+    tfs = varint_decode(enc.tf_blob).astype(np.int64)
+    dls = varint_decode(enc.dl_blob).astype(np.int64)
+    counts = np.asarray(enc.block_count, dtype=np.int64)
+    starts = np.cumsum(np.concatenate(([0], counts[:-1])))
+    # per-block prefix sum: global cumsum minus the carry accumulated before
+    # each block (block-leading deltas are absolute doc_ids, so the carry is
+    # exactly cumsum_at_block_start - leading_value).
+    csum = np.cumsum(deltas)
+    carry = csum[starts] - deltas[starts]
+    doc_ids = csum - np.repeat(carry, counts)
+    return doc_ids, tfs, dls
+
+
+def decode_block(enc: EncodedPostings, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a single block (WAND skips blocks whose bound is too low)."""
+
+    def span(off: np.ndarray, blob: bytes) -> bytes:
+        s = int(off[i])
+        e = int(off[i + 1]) if i + 1 < len(off) else len(blob)
+        return blob[s:e]
+
+    deltas = varint_decode(span(enc.block_doc_off, enc.doc_blob)).astype(np.int64)
+    tfs = varint_decode(span(enc.block_tf_off, enc.tf_blob)).astype(np.int64)
+    dls = varint_decode(span(enc.block_dl_off, enc.dl_blob)).astype(np.int64)
+    return np.cumsum(deltas), tfs, dls
+
+
+def concat_postings(parts: list[EncodedPostings]) -> EncodedPostings:
+    """Merge encoded lists over DISJOINT ascending doc_id ranges by pure
+    concatenation (the salted hot-term merge, SURVEY §2 B4).  Callers must
+    pass parts ordered by doc_id range."""
+    parts = [p for p in parts if p.df > 0]
+    if not parts:
+        return _empty()
+    if len(parts) == 1:
+        return parts[0]
+
+    def shifted(offs: list[np.ndarray], blobs: list[bytes]) -> np.ndarray:
+        shift = np.concatenate(([0], np.cumsum([len(b) for b in blobs[:-1]])))
+        return np.concatenate([o + s for o, s in zip(offs, shift)])
+
+    return EncodedPostings(
+        df=int(sum(p.df for p in parts)),
+        doc_blob=b"".join(p.doc_blob for p in parts),
+        tf_blob=b"".join(p.tf_blob for p in parts),
+        dl_blob=b"".join(p.dl_blob for p in parts),
+        block_last=np.concatenate([p.block_last for p in parts]),
+        block_maxtf=np.concatenate([p.block_maxtf for p in parts]),
+        block_min_dl=np.concatenate([p.block_min_dl for p in parts]),
+        block_count=np.concatenate([p.block_count for p in parts]),
+        block_doc_off=shifted([p.block_doc_off for p in parts], [p.doc_blob for p in parts]),
+        block_tf_off=shifted([p.block_tf_off for p in parts], [p.tf_blob for p in parts]),
+        block_dl_off=shifted([p.block_dl_off for p in parts], [p.dl_blob for p in parts]),
+    )
+
+
+# --- Spark-row (de)serialization helpers -----------------------------------
+
+POSTINGS_FIELDS = (
+    "term", "df", "doc_blob", "tf_blob", "dl_blob", "block_last",
+    "block_maxtf", "block_min_dl", "block_count", "block_doc_off",
+    "block_tf_off", "block_dl_off",
+)
+
+POSTINGS_DDL = (
+    "shard int, term string, df bigint, doc_blob binary, tf_blob binary, "
+    "dl_blob binary, block_last array<bigint>, block_maxtf array<bigint>, "
+    "block_min_dl array<bigint>, block_count array<int>, "
+    "block_doc_off array<bigint>, block_tf_off array<bigint>, "
+    "block_dl_off array<bigint>"
+)
+
+
+def enc_to_row(term: str, enc: EncodedPostings, shard: int | None = None) -> dict:
+    d = {
+        "term": term,
+        "df": enc.df,
+        "doc_blob": enc.doc_blob,
+        "tf_blob": enc.tf_blob,
+        "dl_blob": enc.dl_blob,
+        "block_last": enc.block_last.tolist(),
+        "block_maxtf": enc.block_maxtf.tolist(),
+        "block_min_dl": enc.block_min_dl.tolist(),
+        "block_count": enc.block_count.tolist(),
+        "block_doc_off": enc.block_doc_off.tolist(),
+        "block_tf_off": enc.block_tf_off.tolist(),
+        "block_dl_off": enc.block_dl_off.tolist(),
+    }
+    if shard is not None:
+        d["shard"] = shard
+    return d
+
+
+def row_to_enc(row) -> EncodedPostings:
+    """Accepts a pandas Series / dict / pyspark Row with POSTINGS_FIELDS."""
+    g = row.__getitem__
+    return EncodedPostings(
+        df=int(g("df")),
+        doc_blob=bytes(g("doc_blob")),
+        tf_blob=bytes(g("tf_blob")),
+        dl_blob=bytes(g("dl_blob")),
+        block_last=np.asarray(g("block_last"), dtype=np.int64),
+        block_maxtf=np.asarray(g("block_maxtf"), dtype=np.int64),
+        block_min_dl=np.asarray(g("block_min_dl"), dtype=np.int64),
+        block_count=np.asarray(g("block_count"), dtype=np.int32),
+        block_doc_off=np.asarray(g("block_doc_off"), dtype=np.int64),
+        block_tf_off=np.asarray(g("block_tf_off"), dtype=np.int64),
+        block_dl_off=np.asarray(g("block_dl_off"), dtype=np.int64),
+    )

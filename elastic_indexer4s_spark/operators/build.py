@@ -1,0 +1,317 @@
+"""Index build: tokenize → postings (blocked varint) → doclen → stats →
+lineage, written as one immutable "generation" directory.
+
+This is the engine-native replacement for the reference's write pipeline
+(`ElasticWriter.scala:23-75` create-index + bulk sink, `FullStream.scala:25-38`
+run): instead of streaming documents into ES and letting Lucene build the
+inverted index, the index IS the job output.
+
+Scale design (targets 10^12 files / 100 TB; tested at local scale):
+
+* **Document-sharded layout** — ``shard`` = the doc-id assignment partition
+  (contiguous doc_id range per shard; see operators/docids.py).  Each shard
+  holds postings for its slice of documents, exactly like ES shards
+  (`MappingSetting.scala:15`).  Any single term's per-task posting size is
+  bounded by docs/shard, so stopword-like hot terms cannot blow up a task —
+  skew is handled structurally, with the salted grouped path
+  (`build_postings_salted`) as the explicit per-term-bounded alternative
+  required by the north rule.
+* **Two shuffles only**: (1) hash repartition by doc key for id assignment,
+  (2) ``groupBy(shard, term, doc_id)`` with map-side partial aggregation for
+  tf, then a co-located ``repartition(shard, term) + sortWithinPartitions``
+  feeding a STREAMING ``mapInPandas`` encoder (one Python call per Arrow
+  batch, NOT per term — per-group ``applyInPandas`` would pay per-term
+  overhead on millions of tiny vocabulary groups).
+* Postings/doclen parquet are ``partitionBy(shard)`` so checkpoint-resume
+  (SURVEY §2 B9) can rewrite individual shards with dynamic partition
+  overwrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..functions.codec import POSTINGS_DDL, encode_postings, enc_to_row
+from ..functions.tokenizer import tokens_expr, tokenize_udf
+from ..operators.docids import with_doc_ids
+from ..results import IndexError, RunResult, StageSucceeded, run_stages
+
+DOC_KEY = ["repo", "path", "commit"]
+
+
+# ---------------------------------------------------------------------------
+# tokenization + doc table
+# ---------------------------------------------------------------------------
+
+def tokenized_docs(df: DataFrame, cfg: IndexConfig, use_pandas_udf: bool = False) -> DataFrame:
+    """source rows → + doc_id, shard, sha256, tokens, dl.
+
+    ``use_pandas_udf`` switches the analyzer between the whole-stage-codegen
+    Catalyst expression chain (default, fastest) and the Arrow ``pandas_udf``
+    (identical output; kept first-class per the north-star).
+    """
+    ids = with_doc_ids(df, DOC_KEY, cfg.num_shards)
+    tok = tokenize_udf(cfg.tokenizer)("content") if use_pandas_udf \
+        else tokens_expr(F.col("content"), cfg.tokenizer)
+    return (
+        ids.withColumn("sha256", F.sha2(F.col("content"), 256))
+        .withColumn("tokens", tok)
+        .withColumn("dl", F.size("tokens").cast("long"))
+    )
+
+
+def term_frequencies(docs_tok: DataFrame) -> DataFrame:
+    """(shard, term, doc_id, dl, tf) with map-side partial aggregation.
+
+    ``dl`` rides in the grouping key (functionally dependent on doc_id) so
+    posting encoding needs no join back to the doc-length table.
+    """
+    return (
+        docs_tok.select("shard", "doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("shard", "term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# posting construction — streaming (scale path)
+# ---------------------------------------------------------------------------
+
+def _encode_group(shard: int, term: str, docs: list[np.ndarray],
+                  tfs: list[np.ndarray], dls: list[np.ndarray],
+                  block_size: int) -> dict:
+    d = np.concatenate(docs) if len(docs) > 1 else docs[0]
+    t = np.concatenate(tfs) if len(tfs) > 1 else tfs[0]
+    l = np.concatenate(dls) if len(dls) > 1 else dls[0]
+    return enc_to_row(term, encode_postings(d, t, l, block_size), shard=int(shard))
+
+
+def build_postings_stream(tf_df: DataFrame, cfg: IndexConfig,
+                          num_partitions: int | None = None) -> DataFrame:
+    """tf rows → encoded postings via a streaming per-partition encoder.
+
+    Rows are co-located by (shard, term) and sorted by (shard, term, doc_id);
+    the encoder walks Arrow batches, carrying the open (shard, term) group
+    across batch boundaries, so memory is O(largest single posting list) =
+    O(docs per shard) — bounded by construction.
+    """
+    P = num_partitions or tf_df.sparkSession.sparkContext.defaultParallelism
+    block = cfg.block_size
+    arranged = (
+        tf_df.repartition(P, "shard", "term")
+        .sortWithinPartitions("shard", "term", "doc_id")
+    )
+
+    def encode_stream(batches):
+        cur: tuple | None = None
+        docs: list[np.ndarray] = []
+        tfs: list[np.ndarray] = []
+        dls: list[np.ndarray] = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            shards = pdf["shard"].to_numpy()
+            terms = pdf["term"].to_numpy()
+            doc = pdf["doc_id"].to_numpy()
+            tf = pdf["tf"].to_numpy()
+            dl = pdf["dl"].to_numpy()
+            change = np.nonzero(
+                (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1]))[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
+            out = []
+            for s, e in zip(starts, ends):
+                key = (int(shards[s]), terms[s])
+                if cur is not None and key != cur:
+                    out.append(_encode_group(cur[0], cur[1], docs, tfs, dls, block))
+                    docs, tfs, dls = [], [], []
+                cur = key
+                docs.append(doc[s:e])
+                tfs.append(tf[s:e])
+                dls.append(dl[s:e])
+            if out:
+                yield pd.DataFrame(out)
+        if cur is not None:
+            yield pd.DataFrame(
+                [_encode_group(cur[0], cur[1], docs, tfs, dls, block)])
+
+    return arranged.mapInPandas(encode_stream, schema=POSTINGS_DDL)
+
+
+# ---------------------------------------------------------------------------
+# posting construction — salted grouped path (explicit skew handling, B4)
+# ---------------------------------------------------------------------------
+
+def hot_terms(tf_df: DataFrame, threshold: int) -> DataFrame:
+    """Heavy-hitter detection: terms whose global df exceeds ``threshold``."""
+    return (
+        tf_df.groupBy("term").agg(F.count(F.lit(1)).alias("df_global"))
+        .filter(F.col("df_global") > threshold)
+        .select("term")
+    )
+
+
+def build_postings_salted(tf_df: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """Two-phase salted build: hot terms are split into bounded
+    ``salt = doc_id // salt_span`` sub-segments (contiguous doc ranges, so
+    sub-segments stay independently encodable), encoded per (shard, term,
+    salt) group, then merged per (shard, term) by pure blob concatenation
+    (codec.concat_postings).  Cold terms take salt=0 and pass through the
+    merge unchanged.
+
+    This is the explicit skew-handling path the north rule names; the
+    streaming path handles skew structurally via document sharding.  Both
+    must produce byte-identical postings (tested).
+    """
+    hot = hot_terms(tf_df, cfg.hot_term_df)
+    salted = (
+        tf_df.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), "term", "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("_hot").isNotNull(),
+                   (F.col("doc_id") / F.lit(cfg.salt_span)).cast("long"))
+            .otherwise(F.lit(0)))
+        .drop("_hot")
+    )
+    block = cfg.block_size
+
+    def encode_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        row = _encode_group(
+            int(pdf["shard"].iloc[0]), pdf["term"].iloc[0],
+            [pdf["doc_id"].to_numpy()], [pdf["tf"].to_numpy()],
+            [pdf["dl"].to_numpy()], block)
+        row["salt"] = int(pdf["salt"].iloc[0])
+        row["min_doc"] = int(pdf["doc_id"].min())
+        return pd.DataFrame([row])
+
+    seg_schema = POSTINGS_DDL + ", salt bigint, min_doc bigint"
+    segments = salted.groupBy("shard", "term", "salt").applyInPandas(
+        encode_segment, schema=seg_schema)
+
+    from ..functions.codec import concat_postings, row_to_enc
+
+    def merge_segments(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("min_doc")
+        parts = [row_to_enc(r) for _, r in pdf.iterrows()]
+        merged = concat_postings(parts)
+        return pd.DataFrame([enc_to_row(
+            pdf["term"].iloc[0], merged, shard=int(pdf["shard"].iloc[0]))])
+
+    return segments.groupBy("shard", "term").applyInPandas(
+        merge_segments, schema=POSTINGS_DDL)
+
+
+# ---------------------------------------------------------------------------
+# full build
+# ---------------------------------------------------------------------------
+
+DOCLEN_COLS = ["shard", "doc_id", "repo", "path", "commit", "lang", "dl", "sha256"]
+
+
+def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
+                generation_dir: str, *, salted: bool = False,
+                use_pandas_udf: bool = False,
+                verify_sha: bool = False) -> RunResult | IndexError:
+    """Build one index generation.  Returns the stage-railway result
+    (reference `IndexLogic.scala:23-29`: on failure, the stages that already
+    succeeded are preserved)."""
+    t0 = time.monotonic()
+    meter = spark.sparkContext.accumulator(0)  # throughput meter (A5)
+
+    def stage_create() -> StageSucceeded:
+        os.makedirs(generation_dir, exist_ok=True)
+        with open(os.path.join(generation_dir, "_meta.json"), "w") as f:
+            f.write(cfg.to_json())
+        return StageSucceeded(f"Created index generation {generation_dir}")
+
+    def stage_doclen() -> StageSucceeded:
+        docs_tok = tokenized_docs(source_df, cfg, use_pandas_udf)
+        if cfg.on_error == "skip":
+            docs_tok = docs_tok.filter(F.col("content").isNotNull())
+        (docs_tok.select(*DOCLEN_COLS)
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(generation_dir, "doclen")))
+        return StageSucceeded("Wrote doclen table")
+
+    def stage_postings() -> StageSucceeded:
+        docs_tok = tokenized_docs(source_df, cfg, use_pandas_udf)
+        if cfg.on_error == "skip":
+            docs_tok = docs_tok.filter(F.col("content").isNotNull())
+        tf_df = term_frequencies(docs_tok)
+        postings = (build_postings_salted(tf_df, cfg) if salted
+                    else build_postings_stream(tf_df, cfg))
+        (postings.write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(generation_dir, "postings")))
+        return StageSucceeded("Wrote postings")
+
+    def stage_stats() -> StageSucceeded:
+        doclen = spark.read.parquet(os.path.join(generation_dir, "doclen"))
+        row = doclen.agg(
+            F.count(F.lit(1)).alias("num_docs"),
+            F.avg("dl").alias("avg_dl")).collect()[0]
+        stats = {"num_docs": int(row["num_docs"]),
+                 "avg_dl": float(row["avg_dl"] or 0.0)}
+        with open(os.path.join(generation_dir, "stats.json"), "w") as f:
+            json.dump(stats, f)
+        return StageSucceeded(
+            f"Indexed {stats['num_docs']} documents successfully")
+
+    def stage_lineage() -> StageSucceeded:
+        doclen = spark.read.parquet(os.path.join(generation_dir, "doclen"))
+        postings = spark.read.parquet(os.path.join(generation_dir, "postings"))
+        dstats = doclen.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.expr("bit_xor(xxhash64(sha256))").alias("input_fingerprint"))
+        pstats = postings.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("term_count"),
+            (F.sum(F.length("doc_blob")) + F.sum(F.length("tf_blob"))
+             + F.sum(F.length("dl_blob"))).alias("bytes"))
+        (dstats.join(pstats, "shard", "left")
+         .na.fill({"term_count": 0, "bytes": 0})
+         .write.mode("overwrite")
+         .parquet(os.path.join(generation_dir, "lineage")))
+        return StageSucceeded("Wrote per-shard lineage")
+
+    def stage_verify() -> StageSucceeded:
+        if not verify_sha:
+            return StageSucceeded("Verification skipped (verify_sha=False)")
+        n = verify_content_sha(spark, source_df, generation_dir)
+        if n:
+            raise RuntimeError(f"{n} rows failed sha256 content verification")
+        return StageSucceeded("Verified per-row content sha256 equality")
+
+    result = run_stages([
+        ("create", stage_create),
+        ("doclen", stage_doclen),
+        ("postings", stage_postings),
+        ("stats", stage_stats),
+        ("lineage", stage_lineage),
+        ("verify", stage_verify),
+    ])
+    if isinstance(result, RunResult):
+        elapsed = time.monotonic() - t0
+        result.succeeded_stages.append(
+            StageSucceeded(f"Build took {elapsed:.2f}s"))
+    return result
+
+
+def verify_content_sha(spark: SparkSession, source_df: DataFrame,
+                       generation_dir: str) -> int:
+    """Per-row content sha256 equality source ↔ doclen (SURVEY §2 B10).
+    Returns the number of mismatched/missing rows (0 = verified)."""
+    doclen = spark.read.parquet(os.path.join(generation_dir, "doclen"))
+    src = source_df.select(
+        *DOC_KEY, F.sha2(F.col("content"), 256).alias("src_sha"))
+    joined = src.join(doclen.select(*DOC_KEY, "sha256"), DOC_KEY, "full_outer")
+    return joined.filter(
+        F.col("src_sha").isNull() | F.col("sha256").isNull()
+        | (F.col("src_sha") != F.col("sha256"))).count()

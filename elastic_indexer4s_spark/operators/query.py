@@ -1,0 +1,214 @@
+"""BM25 top-k query execution over a built index generation.
+
+The reference delegates search to ES (`search(index) size 0` for counts,
+`EsOpsClientApi.scala:89-90`; `matchAllQuery` in its ITs); this module owns it
+(SURVEY §2 B6-B8).
+
+Query plan (scales to many shards):
+ 1. analyze the query string with the SAME tokenizer as the build;
+ 2. scan ``postings`` with ``term IN (...)`` — Catalyst pushes the predicate
+    into the parquet scan (row-group pruning on the term column), so only the
+    query terms' posting rows are read, never the index;
+ 3. global df per term = one tiny aggregate over those rows (a term's df is
+    split across document shards) → idf dict, broadcast via closure;
+ 4. per-shard scoring: ``applyInPandas`` over shard groups decodes blobs and
+    accumulates doc→score vectorized (NumPy), emitting the SHARD-LOCAL top-k
+    — the distributed scatter-gather every document-partitioned search engine
+    uses;
+ 5. global top-k = ``ORDER BY score DESC, doc_id ASC LIMIT k`` over ≤
+    shards·k rows (tiny).
+
+Exact-score semantics match the pure-Python oracle bit-for-bit: float64,
+per-term contributions added in ascending term order.
+
+``wand=True`` switches step 4 to block-max WAND (SURVEY §2 B7): maintain a
+size-k heap per shard; for each candidate block, compare the sum of the
+still-active terms' block upper bounds ``idf·(k1+1)·maxtf/(maxtf+k1·(1-b+
+b·min_dl/avgdl))`` against the heap threshold and skip blocks that cannot
+enter the top-k.  Exactness vs exhaustive scoring is pinned by tests.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig, TokenizerConfig
+from ..functions.codec import EncodedPostings, decode_block, decode_postings, row_to_enc
+from ..functions.tokenizer import tokenize_py
+
+
+def load_stats(generation_dir: str) -> dict:
+    with open(os.path.join(generation_dir, "stats.json")) as f:
+        return json.load(f)
+
+
+def load_config(generation_dir: str) -> IndexConfig:
+    with open(os.path.join(generation_dir, "_meta.json")) as f:
+        return IndexConfig.from_json(f.read())
+
+
+def analyze_query(terms: list[str], cfg: TokenizerConfig) -> list[str]:
+    """Apply the index analyzer to raw query inputs (camelCase queries must
+    hit split sub-tokens), dedupe, ascending order (fixes fp add order)."""
+    out: set[str] = set()
+    for t in terms:
+        out.update(tokenize_py(t, cfg))
+    return sorted(out)
+
+
+def _idf(n_docs: int, df: int) -> float:
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def global_dfs(postings: DataFrame) -> dict[str, int]:
+    rows = postings.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def _score_arrays(tf: np.ndarray, dl: np.ndarray, idf: float,
+                  k1: float, b: float, avg_dl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    norm = tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avg_dl)
+    return idf * tf * (k1 + 1.0) / norm
+
+
+def _shard_exhaustive(encs: list[tuple[str, EncodedPostings]], idfs: dict[str, float],
+                      k1: float, b: float, avg_dl: float, k: int) -> pd.DataFrame:
+    """Decode every posting fully, accumulate doc→score, local top-k.
+    Terms processed in ascending order → oracle-identical fp accumulation."""
+    scores: dict[int, float] = {}
+    for term, enc in sorted(encs, key=lambda x: x[0]):
+        doc_ids, tfs, dls = decode_postings(enc)
+        contrib = _score_arrays(tfs, dls, idfs[term], k1, b, avg_dl)
+        for d, c in zip(doc_ids.tolist(), contrib.tolist()):
+            scores[d] = scores.get(d, 0.0) + c
+    top = heapq.nsmallest(k, scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pd.DataFrame(top, columns=["doc_id", "score"]).astype(
+        {"doc_id": "int64", "score": "float64"})
+
+
+def _shard_wand(encs: list[tuple[str, EncodedPostings]], idfs: dict[str, float],
+                k1: float, b: float, avg_dl: float, k: int) -> pd.DataFrame:
+    """Block-max WAND over the shard's query-term postings.
+
+    Document-at-a-time in block granularity: advance through blocks in doc_id
+    order; before scoring a block span, sum the block upper bounds of the
+    terms whose current block overlaps the span — if below the heap's k-th
+    score, skip ahead without decoding.  Produces EXACTLY the same top-k as
+    exhaustive scoring (ties broken by doc_id asc) because bounds are
+    admissible: score(tf,dl) ≤ idf·(k1+1)·maxtf/(maxtf+k1·(1-b+b·min_dl/avgdl)).
+    """
+    encs = sorted(encs, key=lambda x: x[0])
+    bounds: list[np.ndarray] = []
+    for term, enc in encs:
+        maxtf = np.asarray(enc.block_maxtf, dtype=np.float64)
+        mindl = np.asarray(enc.block_min_dl, dtype=np.float64)
+        norm = maxtf + k1 * (1.0 - b + b * mindl / avg_dl)
+        bounds.append(idfs[term] * maxtf * (k1 + 1.0) / norm)
+
+    n_terms = len(encs)
+    n_blocks = [len(e.block_count) for _, e in encs]
+    cur = [0] * n_terms    # current block index per term
+    used = [0] * n_terms   # postings already consumed within current block
+    cache: list[tuple | None] = [None] * n_terms  # decoded current block
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id), top-k
+
+    def push(doc: int, score: float) -> None:
+        item = (score, -doc)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+    while True:
+        # frontier: minimum block_last among terms with blocks left
+        frontier, active = None, []
+        for i, (_, enc) in enumerate(encs):
+            if cur[i] < n_blocks[i]:
+                active.append(i)
+                bl = int(enc.block_last[cur[i]])
+                if frontier is None or bl < frontier:
+                    frontier = bl
+        if frontier is None:
+            break
+        # admissible upper bound for any doc ≤ frontier: every open block
+        # could contribute (blocks advance strictly in doc order, so every
+        # block containing a doc ≤ frontier is still open right now)
+        ub = sum(float(bounds[i][cur[i]]) for i in active)
+        thr = heap[0][0] if len(heap) >= k else -np.inf
+        if ub < thr:
+            # no doc ≤ frontier can enter the top-k: skip without decoding
+            for i in active:
+                if int(encs[i][1].block_last[cur[i]]) == frontier:
+                    cur[i], used[i], cache[i] = cur[i] + 1, 0, None
+            continue
+        # score all postings ≤ frontier (each doc completes in one round, and
+        # terms are visited in ascending order → fp accumulation order matches
+        # the exhaustive scorer and the pure-Python oracle exactly)
+        pending: dict[int, float] = {}
+        for i in active:
+            term, enc = encs[i]
+            if cache[i] is None:
+                cache[i] = decode_block(enc, cur[i])
+            doc_ids, tfs, dls = cache[i]
+            hi = int(np.searchsorted(doc_ids, frontier, side="right"))
+            lo = used[i]
+            if hi > lo:
+                contrib = _score_arrays(tfs[lo:hi], dls[lo:hi], idfs[term],
+                                        k1, b, avg_dl)
+                for d, c in zip(doc_ids[lo:hi].tolist(), contrib.tolist()):
+                    pending[d] = pending.get(d, 0.0) + c
+                used[i] = hi
+            if int(enc.block_last[cur[i]]) == frontier:
+                cur[i], used[i], cache[i] = cur[i] + 1, 0, None
+        for d, s in pending.items():
+            push(d, s)
+
+    rows = sorted(((s, -negd) for s, negd in heap), key=lambda x: (-x[0], x[1]))
+    return pd.DataFrame([(d, s) for s, d in rows],
+                        columns=["doc_id", "score"]).astype(
+                            {"doc_id": "int64", "score": "float64"})
+
+
+def topk(spark: SparkSession, generation_dir: str, query_terms: list[str],
+         k: int = 10, *, wand: bool = False,
+         cfg: IndexConfig | None = None) -> DataFrame:
+    """Top-k BM25 query → DataFrame(doc_id long, score double), ordered."""
+    cfg = cfg or load_config(generation_dir)
+    stats = load_stats(generation_dir)
+    n_docs, avg_dl = stats["num_docs"], stats["avg_dl"]
+    terms = analyze_query(query_terms, cfg.tokenizer)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not terms or n_docs == 0 or avg_dl == 0:
+        return empty
+
+    postings = (
+        spark.read.parquet(os.path.join(generation_dir, "postings"))
+        .filter(F.col("term").isin(terms))
+    )
+    dfs = global_dfs(postings)
+    if not dfs:
+        return empty
+    idfs = {t: _idf(n_docs, df) for t, df in dfs.items()}
+    k1, b = cfg.k1, cfg.b
+    scorer = _shard_wand if wand else _shard_exhaustive
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        encs = [(r["term"], row_to_enc(r)) for _, r in pdf.iterrows()]
+        return scorer(encs, idfs, k1, b, float(avg_dl), k)
+
+    local = postings.groupBy("shard").applyInPandas(
+        score_shard, schema="doc_id long, score double")
+    return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def count_index(spark: SparkSession, generation_dir: str) -> int:
+    """Match-all doc count (reference `EsOpsClientApi.scala:89-90`)."""
+    return spark.read.parquet(os.path.join(generation_dir, "doclen")).count()

@@ -1,0 +1,154 @@
+"""Generation catalog: list index generations with aliases + creation time.
+
+Spark-native equivalent of the reference's ops-client catalog
+(`EsOpsClientApi.scala:13,69-81`: ``IndexWithInfo(index, aliases,
+creationTime)`` built by joining the alias listing with per-index
+``index.creation_date`` settings) over a root directory of generation dirs
+plus a tiny JSON alias manifest.
+
+The catalog is metadata (thousands of rows at most) — plain Python, exactly
+as the reference treats it; no Spark jobs are spawned for lifecycle
+decisions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+ALIAS_MANIFEST = "_aliases.json"
+META_FILE = "_meta.json"
+CREATED_FILE = "_created"
+
+
+@dataclass(frozen=True)
+class IndexWithInfo:
+    """Mirrors `EsOpsClientApi.scala:13`."""
+    index: str
+    aliases: tuple[str, ...]
+    creation_time: int  # epoch millis
+
+
+@dataclass
+class GenerationCatalog:
+    root: str
+
+    # -- generation registration ------------------------------------------
+
+    def path(self, index: str) -> str:
+        return os.path.join(self.root, index)
+
+    def register(self, index: str, creation_time: int | None = None) -> None:
+        """Record creation time (the reference reads ES's
+        ``index.creation_date`` setting, `EsOpsClientApi.scala:63-67`)."""
+        ts = creation_time if creation_time is not None else int(time.time() * 1000)
+        os.makedirs(self.path(index), exist_ok=True)
+        with open(os.path.join(self.path(index), CREATED_FILE), "w") as f:
+            f.write(str(ts))
+
+    def creation_time(self, index: str) -> int:
+        p = os.path.join(self.path(index), CREATED_FILE)
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(f.read().strip())
+        return int(os.stat(self.path(index)).st_mtime * 1000)
+
+    # -- alias manifest (atomic) -------------------------------------------
+
+    def _read_aliases(self) -> dict[str, list[str]]:
+        """alias -> [index, ...]"""
+        p = os.path.join(self.root, ALIAS_MANIFEST)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_aliases(self, aliases: dict[str, list[str]]) -> None:
+        """Atomic publish: write-temp-then-rename (the engine's equivalent of
+        ES's atomic alias-update API used at `EsOpsClientApi.scala:83-87`)."""
+        os.makedirs(self.root, exist_ok=True)
+        p = os.path.join(self.root, ALIAS_MANIFEST)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(aliases, f, indent=2, sort_keys=True)
+        os.replace(tmp, p)
+
+    def add_alias(self, alias: str, index: str) -> None:
+        """`EsOpsClientApi.scala:83-84` addAliasToIndex."""
+        a = self._read_aliases()
+        members = a.setdefault(alias, [])
+        if index not in members:
+            members.append(index)
+        self._write_aliases(a)
+
+    def remove_alias(self, alias: str, index: str) -> None:
+        """`EsOpsClientApi.scala:86-87` removeAliasFromIndex."""
+        a = self._read_aliases()
+        if alias in a and index in a[alias]:
+            a[alias].remove(index)
+            if not a[alias]:
+                del a[alias]
+        self._write_aliases(a)
+
+    # -- scans (A9-A11) ------------------------------------------------------
+
+    def all_indices_with_info(self) -> list[IndexWithInfo]:
+        """`EsOpsClientApi.scala:69-81` allIndicesWithAliasInfo: list
+        generations joined with alias membership, sorted by creation time."""
+        if not os.path.isdir(self.root):
+            return []
+        aliases = self._read_aliases()
+        by_index: dict[str, list[str]] = {}
+        for al, members in aliases.items():
+            for idx in members:
+                by_index.setdefault(idx, []).append(al)
+        out = []
+        for name in os.listdir(self.root):
+            full = os.path.join(self.root, name)
+            if not os.path.isdir(full):
+                continue
+            out.append(IndexWithInfo(
+                index=name,
+                aliases=tuple(sorted(by_index.get(name, []))),
+                creation_time=self.creation_time(name)))
+        return sorted(out, key=lambda i: (i.creation_time, i.index))
+
+    def indices_by_age_for(self, alias: str) -> list[str]:
+        """`EsOpsClientApi.scala:25-28`: generations carrying the alias,
+        ascending creation time."""
+        return [i.index for i in self.all_indices_with_info()
+                if alias in i.aliases]
+
+    def size_for(self, index: str) -> int:
+        """Doc count of a generation (`EsOpsClientApi.scala:89-90` — search
+        size 0 → totalHits). Reads stats.json; falls back to lineage/doclen
+        row counts would need Spark, so builds always write stats."""
+        p = os.path.join(self.path(index), "stats.json")
+        with open(p) as f:
+            return int(json.load(f)["num_docs"])
+
+    def latest_index_with_alias_size(self, alias: str) -> int | None:
+        """`EsOpsClientApi.scala:30-34`: doc count of the NEWEST generation
+        holding the alias; None if the alias is unused."""
+        indices = self.indices_by_age_for(alias)
+        if not indices:
+            return None
+        return self.size_for(indices[-1])
+
+    def delete_index(self, index: str) -> None:
+        """`EsOpsClientApi.scala:60-61`."""
+        import shutil
+        shutil.rmtree(self.path(index), ignore_errors=True)
+        # drop any alias entries pointing at it
+        a = self._read_aliases()
+        changed = False
+        for al in list(a):
+            if index in a[al]:
+                a[al].remove(index)
+                changed = True
+                if not a[al]:
+                    del a[al]
+        if changed:
+            self._write_aliases(a)
