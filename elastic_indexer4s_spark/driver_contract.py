@@ -1,0 +1,882 @@
+"""Driver-facing query inventory: every SURVEY §2 operator exposed as a
+(spark, sf_dir) -> DataFrame callable, each paired with an ANSI-SQL oracle
+that DuckDB runs over the same parquet tables.
+
+Parity rules (the driver hash-compares values, so these are load-bearing):
+
+* every computed column is aliased identically on both sides;
+* all integral outputs are BIGINT, floats are DOUBLE rounded to 6 decimals
+  (both engines round-half-up on doubles; pre-round values agree to ~1 ulp);
+* every hash is the portable md5-60-bit value (functions/hashing.py);
+* top-k orders tie-break on rounded score THEN id, so the selected set is
+  identical even when raw doubles differ in the last ulp;
+* DuckDB sum() over integers returns HUGEINT -> always cast to BIGINT.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import IndexConfig
+from .functions.hashing import md5_long, md5_long_sql
+from .functions.tokenizer import simple_tokens_expr, simple_tokens_sql
+from .operators import dedup, multimodal, similarity, textstats
+from .operators.build import build_index
+from .operators.query import topk as engine_topk, count_index
+from .results import RunResult
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+K1, B = 1.2, 0.75
+
+# DuckDB twin of functions/tokenizer.simple_tokens_expr
+TOK = simple_tokens_sql("text")
+
+# DuckDB twin of the full code-aware analyzer (functions/tokenizer.tokens_expr):
+# RE2 has no lookarounds, so camel boundaries use capture-group replacement —
+# equivalent here because consecutive boundaries can never share characters
+# (the char classes on each side of a boundary are disjoint).
+CODE_TOK = r"""
+list_transform(
+  list_filter(
+    regexp_split_to_array(
+      trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        text, '[^A-Za-z0-9_]+', ' ', 'g'),
+        '_', ' ', 'g'),
+        '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+        '([A-Z])([A-Z][a-z])', '\1 \2', 'g')),
+      '\s+'),
+    t -> length(t) >= 2 AND length(t) <= 64),
+  t -> lower(t))
+""".strip()
+
+TF_CTE = f"""
+toks AS (SELECT doc_id, {TOK} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+  GROUP BY doc_id, tok
+)"""
+
+# the reference query set over the driver's `documents` table (30-term vocab)
+QUERY_SET: list[tuple[int, str]] = [
+    (0, "spark"), (0, "join"),
+    (1, "window"), (1, "batch"),
+    (2, "merge"),
+    (3, "customer"), (3, "table"), (3, "scan"),
+    (4, "nosuchterm"),
+]
+FLAGSHIP_TERMS = ["spark", "join"]
+
+# lifecycle catalog fixture (FIXTURES.md §3): generation, aliases csv,
+# creation_time, doc_count — literal on both sides.
+CATALOG_ROWS: list[tuple[str, str, int, int]] = [
+    ("docs_1", "", 1, 100), ("docs_2", "", 2, 110),
+    ("docs_3", "current", 3, 120), ("docs_4", "", 4, 130),
+    ("docs_5", "stale", 5, 0), ("docs_6", "", 6, 140),
+    ("docs_7", "", 7, 150), ("docs_8", "", 8, 160),
+    ("docs_9", "", 9, 170), ("docs_10", "", 10, 180),
+    ("other_1", "", 5, 999),
+]
+GATE_ROWS: list[tuple[int, int | None, int]] = [
+    (0, None, 100),   # no previous aliased index -> create
+    (1, 100, 100),    # ratio 1.0 -> switch
+    (2, 100, 96),     # ratio 0.96 -> switch (just above min)
+    (3, 100, 95),     # ratio 0.95 -> reject (gate is strict >)
+    (4, 100, 125),    # ratio 1.25 -> switch (gate is <=)
+    (5, 100, 126),    # ratio 1.26 -> reject
+    (6, 100, 0),      # empty new index -> reject
+]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _catalog_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        CATALOG_ROWS,
+        "generation string, aliases string, creation_time long, doc_count long")
+
+
+def _catalog_values() -> str:
+    rows = ", ".join(f"('{g}', '{a}', {c}, {d})" for g, a, c, d in CATALOG_ROWS)
+    return (f"(VALUES {rows}) "
+            "AS cat(generation, aliases, creation_time, doc_count)")
+
+
+def _queryset_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(QUERY_SET, "query_id long, term string")
+
+
+def _queryset_values() -> str:
+    rows = ", ".join(f"({q}, '{t}')" for q, t in QUERY_SET)
+    return f"(VALUES {rows}) AS qs(query_id, term)"
+
+
+# ---------------------------------------------------------------------------
+# engine-path generation cache (build once per sf_dir per process)
+# ---------------------------------------------------------------------------
+
+_GEN_CACHE: dict[str, str] = {}
+_ENGINE_CFG = IndexConfig(num_shards=8, block_size=64)
+
+
+def corpus_shaped(docs: DataFrame) -> DataFrame:
+    """Adapt the driver's `documents` table to the engine's Iceberg corpus
+    shape (repo, path, commit, lang, content) per BASELINE input_hint.
+    `path` encodes the original doc_id so results map back deterministically."""
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.format_string("doc/%012d.txt", F.col("doc_id")).alias("path"),
+        F.sha2(F.col("text"), 256).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"))
+
+
+def _generation_for(spark: SparkSession, sf_dir: str) -> str:
+    gen = _GEN_CACHE.get(sf_dir)
+    if gen and os.path.exists(os.path.join(gen, "stats.json")):
+        return gen
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    gen = os.path.join(tempfile.gettempdir(), f"ei4s_gen_{tag}")
+    if not os.path.exists(os.path.join(gen, "stats.json")):
+        res = build_index(spark, corpus_shaped(_docs(spark, sf_dir)),
+                          _ENGINE_CFG, gen)
+        assert isinstance(res, RunResult), str(res)
+    _GEN_CACHE[sf_dir] = gen
+    return gen
+
+
+def _orig_id_from_path() -> F.Column:
+    return F.regexp_extract("path", r"doc/(\d+)\.txt", 1).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# queries — core full-text engine (SURVEY §2 B1-B8, A8)
+# ---------------------------------------------------------------------------
+
+def q_count_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("num_docs"))
+
+
+def q_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = simple_tokens_expr(F.col("text"))
+    return d.select("doc_id", F.size(toks).cast("long").alias("dl"),
+                    F.sha2(F.col("text"), 256).alias("sha256"))
+
+
+def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (d.select("doc_id",
+                     F.explode(simple_tokens_expr(F.col("text"))).alias("term"))
+            .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+
+
+def q_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (q_term_frequencies(spark, sf_dir)
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    dl = F.size(simple_tokens_expr(F.col("text"))).cast("long")
+    return d.select(dl.alias("dl")).agg(
+        F.count(F.lit(1)).alias("num_docs"),
+        F.round(F.avg("dl"), 6).alias("avg_dl"))
+
+
+def q_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    return (q_doc_freq(spark, sf_dir)
+            .select("term", "df",
+                    F.round(F.log(
+                        1.0 + (F.lit(float(n)) - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)), 6).alias("idf")))
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str,
+                 queries: DataFrame) -> DataFrame:
+    """(query_id, doc_id, score): BM25 over the simple tokenizer, all
+    matching docs.  Shared by the top-k variants."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()
+    tf = q_term_frequencies(spark, sf_dir)
+    dl = q_doclen(spark, sf_dir).select("doc_id", "dl")
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avg_dl_row = dl.agg(F.avg("dl")).collect()[0][0]
+    avg_dl = float(avg_dl_row or 0.0)
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    contrib = (idf * F.col("tf") * (K1 + 1.0)
+               / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avg_dl))))
+    return (
+        tf.join(F.broadcast(queries), "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .select("query_id", "doc_id", contrib.alias("_c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("_c"), 6).alias("score"))
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qdf = spark.createDataFrame(
+        [(0, t) for t in FLAGSHIP_TERMS], "query_id long, term string")
+    scores = _bm25_scores(spark, sf_dir, qdf)
+    return (scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(10).select("doc_id", "score"))
+
+
+def q_bm25_queryset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = _bm25_scores(spark, sf_dir, _queryset_df(spark))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (scores.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
+def q_postings_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = q_term_frequencies(spark, sf_dir)
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string")), ",").alias("doc_ids"))
+
+
+def q_doc_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        (md5_long(F.col("doc_id").cast("string")) % 8).alias("shard"))
+
+
+# ---------------------------------------------------------------------------
+# queries — engine path (real index build: postings codec, shards, WAND)
+# ---------------------------------------------------------------------------
+
+def q_engine_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gen = _generation_for(spark, sf_dir)
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    return doclen.select(_orig_id_from_path().alias("doc_id"),
+                         F.col("dl").cast("long").alias("dl"), "sha256")
+
+
+def q_engine_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gen = _generation_for(spark, sf_dir)
+    n = count_index(spark, gen)
+    return spark.createDataFrame([(n,)], "num_docs long")
+
+
+def q_engine_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path — blocked-varint postings + shard scatter-gather —
+    returning ALL matching docs' scores keyed by the original doc_id (set
+    semantics: no k-boundary, so cross-engine rank jitter cannot bite)."""
+    gen = _generation_for(spark, sf_dir)
+    res = engine_topk(spark, gen, FLAGSHIP_TERMS, k=1_000_000, wand=False)
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
+    return (res.join(ids, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 6).alias("score")))
+
+
+def q_engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND top-k (non-SQL-expressible k-boundary handling lives in
+    tests; here WAND must agree with the exhaustive oracle on the full set of
+    docs above the top-10 score floor). Rows-only check."""
+    gen = _generation_for(spark, sf_dir)
+    res = engine_topk(spark, gen, FLAGSHIP_TERMS, k=10, wand=True)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# queries — lifecycle (A9-A14) over the literal catalog fixture
+# ---------------------------------------------------------------------------
+
+def q_lifecycle_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GC victim list (reference IndexDeletion.scala:11-25): prefix-scoped,
+    never the new index, keep newest 2, alias-protected."""
+    cat = _catalog_df(spark)
+    keep, new_index, prefix = 2, "docs_10", "docs"
+    w = Window.orderBy(F.col("creation_time").desc(), F.col("generation"))
+    scoped = (cat.filter(F.col("generation").startswith(prefix))
+              .filter(F.col("generation") != new_index)
+              .withColumn("_rk", F.row_number().over(w)))
+    return (scoped.filter(F.col("_rk") > keep)
+            .filter(F.length("aliases") == 0)
+            .select("generation", "creation_time"))
+
+
+def q_lifecycle_alias_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-gated publish decisions (AliasSwitching.scala:37-54):
+    switch iff minT < new/old <= maxT; create when no aliased predecessor."""
+    rows = [(c, o, n) for c, o, n in GATE_ROWS]
+    g = spark.createDataFrame(
+        rows, "case_id long, old_count long, new_count long")
+    ratio = F.col("new_count").cast("double") / F.col("old_count").cast("double")
+    decision = (
+        F.when(F.col("old_count").isNull(), F.lit("create"))
+        .when((ratio > 0.95) & (ratio <= 1.25), F.lit("switch"))
+        .otherwise(F.lit("reject")))
+    return g.select("case_id", decision.alias("decision"))
+
+
+def q_catalog_indices_by_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-filtered, age-ordered catalog scan (EsOpsClientApi.scala:25-28)."""
+    cat = _catalog_df(spark)
+    w = Window.orderBy(F.col("creation_time").asc(), F.col("generation"))
+    return (cat.filter(F.col("aliases") != "")
+            .withColumn("age_rank", F.row_number().over(w).cast("long"))
+            .select("generation", "creation_time", "age_rank"))
+
+
+# ---------------------------------------------------------------------------
+# queries — dedup / similarity / text analysis / multimodal / events
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16,
+                                   bands=4, min_est_sim=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir), bits=16)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.brute_force_topk(emb, q, k=10)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "vec_id", "cosine")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return (similarity.lsh_buckets(emb, n_planes=4, dim=64)
+            .select("vec_id", "bucket"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_metrics(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_payload(_docs(spark, sf_dir))
+    return multimodal.payload_meta(media)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/feature plumbing (stubbed codec). Rows-only check —
+    the fake decode is Python-side, not SQL-expressible."""
+    media = multimodal.attach_payload(_docs(spark, sf_dir))
+    return multimodal.extract_features(media).select(
+        "id", "width", "height", "channels")
+
+
+def q_events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sums go through DECIMAL so both engines accumulate exactly (double
+    # summation order differs between engines; decimal addition does not).
+    # minute is a wall-clock string: TIMESTAMP_NTZ + unknown driver session
+    # timezone makes epoch-based keys non-portable.
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute"),
+        "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(28,6)"))
+             .cast("double").alias("sum_value")))
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gaps in exact integer microseconds (unix_micros/epoch_us) — fractional
+    # epoch seconds truncate differently across engines.
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("_prev", F.lag("ts", 1).over(w))
+    gap = F.expr("timestampdiff(MICROSECOND, _prev, ts)")
+    new_sess = F.when(gap.isNull() | (gap > 600 * 1_000_000), 1).otherwise(0)
+    return (ev.withColumn("_ns", new_sess)
+            .groupBy("user_id")
+            .agg(F.sum("_ns").cast("long").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # money sums accumulate in DECIMAL (exact, order-independent) so Spark and
+    # DuckDB agree bit-for-bit; quantities are integer-valued doubles (exact).
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    return (li.filter(F.col("l_shipdate")
+                      <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+                 F.sum(dec(F.col("l_extendedprice")))
+                 .cast("double").alias("sum_base_price"),
+                 F.sum(dec(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))))
+                 .cast("double").alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    rev = (o.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+                .cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders")))
+    return (rev.join(F.broadcast(c),
+                     rev["o_custkey"] == c["c_custkey"])
+            .select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                    "c_name", "revenue", "n_orders")
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(10))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — exact twins of the queries above
+# ---------------------------------------------------------------------------
+
+def _flagship_values() -> str:
+    rows = ", ".join(f"(0, '{t}')" for t in FLAGSHIP_TERMS)
+    return f"(VALUES {rows}) AS qs(query_id, term)"
+
+
+def _bm25_sql(queryset_values: str, tok: str) -> str:
+    """Shared BM25 CTE chain -> relation `agg(query_id, doc_id, score)`.
+
+    Arithmetic is written in the exact shape the Spark/engine code evaluates
+    (left-associative, same constant folding: (1.2 + 1.0), (1.0 - 0.75 + ...))
+    so both engines perform the identical IEEE op sequence per row.
+    """
+    return f"""
+toks AS (SELECT doc_id, {tok} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY doc_id, tok
+),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+stats AS (SELECT count(*)::BIGINT AS n, avg(len(toks)) AS avg_dl FROM toks),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qs AS (SELECT * FROM {queryset_values}),
+scored AS (
+  SELECT qs.query_id, tf.doc_id,
+         ln(1.0 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avg_dl)) AS c
+  FROM tf JOIN qs USING (term) JOIN dft USING (term)
+       JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+agg AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+        FROM scored GROUP BY query_id, doc_id)"""
+
+
+def _plane_const(p: int, d: int) -> float:
+    h = int(hashlib.md5(f"plane:{p},{d}".encode()).hexdigest()[:15], 16)
+    return ((h % 2001) - 1000) / 1000.0
+
+
+def _lsh_bucket_sql(n_planes: int = 4, dim: int = 64) -> str:
+    """bucket expression over `v` (DOUBLE[]) — same left-assoc fp op chain as
+    similarity.lsh_buckets; plane constants are the identical md5-derived
+    doubles, embedded via repr (exact round-trip)."""
+    dots = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"(v[{d + 1}] * {_plane_const(p, d)!r})" for d in range(dim))
+        dots.append(f"0.0 + {terms} AS dot{p}")
+    bucket = " + ".join(
+        f"(CASE WHEN dot{p} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes))
+    return (", ".join(dots), f"cast(0 + {bucket} AS BIGINT)")
+
+
+_COS = ("list_dot_product({a}, {b}) / nullif(sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})), 0.0)")
+
+_MARKER_VALUES = ", ".join(f"('{l}', '{t}')" for l, t in __import__(
+    "elastic_indexer4s_spark.operators.textstats",
+    fromlist=["LANG_MARKERS"]).LANG_MARKERS)
+
+_STOPWORD_LIST = ", ".join(f"'{w}'" for w in __import__(
+    "elastic_indexer4s_spark.operators.textstats",
+    fromlist=["EN_STOPWORDS"]).EN_STOPWORDS)
+
+
+def build_oracles() -> dict[str, str]:
+    h = md5_long_sql
+    ngram_cte = f"""
+toks AS (SELECT doc_id, {TOK} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+        FROM toks),
+gr AS (SELECT doc_id,
+              tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                AS ngram,
+              lead(tok, 2) OVER w AS last3
+       FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, ngram FROM gr WHERE last3 IS NOT NULL)"""
+    lsh_dots, lsh_bucket = _lsh_bucket_sql(4, 64)
+    gate_rows = ", ".join(
+        f"({c}, {o if o is not None else 'CAST(NULL AS INTEGER)'}, {n})"
+        for c, o, n in GATE_ROWS)
+
+    oracles: dict[str, str] = {}
+
+    oracles["count_match_all"] = "SELECT count(*) AS num_docs FROM documents"
+
+    oracles["doclen"] = f"""
+SELECT doc_id, len({TOK})::BIGINT AS dl, sha256(text) AS sha256 FROM documents"""
+
+    oracles["term_frequencies"] = f"WITH {TF_CTE} SELECT doc_id, term, tf FROM tf"
+
+    oracles["doc_freq"] = (
+        f"WITH {TF_CTE} SELECT term, count(*) AS df FROM tf GROUP BY term")
+
+    oracles["corpus_stats"] = f"""
+SELECT count(*) AS num_docs, round(avg(len({TOK})), 6) AS avg_dl FROM documents"""
+
+    oracles["idf"] = f"""
+WITH {TF_CTE}, dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT term, df, round(ln(1.0 + (n.n - df + 0.5) / (df + 0.5)), 6) AS idf
+FROM dft, n"""
+
+    oracles["bm25_topk"] = f"""
+WITH {_bm25_sql(_flagship_values(), TOK)}
+SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 10"""
+
+    oracles["bm25_queryset"] = f"""
+WITH {_bm25_sql(_queryset_values(), TOK)},
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM agg)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r WHERE rank <= 10"""
+
+    oracles["postings_lists"] = f"""
+WITH {TF_CTE}
+SELECT term, count(*) AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+FROM tf GROUP BY term"""
+
+    oracles["doc_sharding"] = f"""
+SELECT doc_id, {h('doc_id::VARCHAR')} % 8 AS shard FROM documents"""
+
+    # engine path (code-aware tokenizer)
+    oracles["engine_doclen"] = f"""
+SELECT doc_id, len({CODE_TOK})::BIGINT AS dl, sha256(text) AS sha256
+FROM documents"""
+
+    oracles["engine_count"] = "SELECT count(*) AS num_docs FROM documents"
+
+    oracles["engine_bm25_scores"] = f"""
+WITH {_bm25_sql(_flagship_values(), CODE_TOK)}
+SELECT doc_id, score FROM agg"""
+
+    # lifecycle
+    oracles["lifecycle_retention"] = f"""
+WITH cat AS (SELECT * FROM {_catalog_values()}),
+scoped AS (
+  SELECT generation, aliases, creation_time,
+         row_number() OVER (ORDER BY creation_time DESC, generation) AS rk
+  FROM cat
+  WHERE starts_with(generation, 'docs') AND generation <> 'docs_10')
+SELECT generation, creation_time::BIGINT AS creation_time
+FROM scoped WHERE rk > 2 AND length(aliases) = 0"""
+
+    oracles["lifecycle_alias_gate"] = f"""
+WITH g AS (SELECT * FROM (VALUES {gate_rows})
+           AS g(case_id, old_count, new_count))
+SELECT case_id::BIGINT AS case_id,
+  CASE WHEN old_count IS NULL THEN 'create'
+       WHEN (new_count::DOUBLE / old_count::DOUBLE) > 0.95
+            AND (new_count::DOUBLE / old_count::DOUBLE) <= 1.25 THEN 'switch'
+       ELSE 'reject' END AS decision
+FROM g"""
+
+    oracles["catalog_indices_by_age"] = f"""
+WITH cat AS (SELECT * FROM {_catalog_values()})
+SELECT generation, creation_time::BIGINT AS creation_time,
+       row_number() OVER (ORDER BY creation_time, generation)::BIGINT AS age_rank
+FROM cat WHERE aliases <> ''"""
+
+    # dedup
+    oracles["dedup_exact"] = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       count(*) OVER (PARTITION BY md5(text)) AS group_size
+FROM documents"""
+
+    oracles["dedup_ngram_jaccard"] = f"""
+WITH {ngram_cte},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8"""
+
+    oracles["dedup_minhash_lsh"] = f"""
+WITH {ngram_cte},
+hx AS (SELECT doc_id, hs.h,
+              min({h("hs.h::VARCHAR || ':' || ngram")}) AS minhash
+       FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) hs
+       GROUP BY doc_id, hs.h),
+band_sig AS (SELECT doc_id, (h // 4) AS band,
+                    string_agg(minhash::VARCHAR, ',' ORDER BY h) AS bucket
+             FROM hx GROUP BY doc_id, (h // 4)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM band_sig a JOIN band_sig b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+est AS (SELECT id_a, id_b,
+               round(avg(CASE WHEN sa.minhash = sb.minhash
+                              THEN 1.0 ELSE 0.0 END), 6) AS est_sim
+        FROM cand
+        JOIN hx sa ON sa.doc_id = id_a
+        JOIN hx sb ON sb.doc_id = id_b AND sb.h = sa.h
+        GROUP BY id_a, id_b)
+SELECT id_a, id_b, est_sim FROM est WHERE est_sim >= 0.5"""
+
+    oracles["dedup_simhash"] = f"""
+WITH {TF_CTE},
+tfh AS (SELECT doc_id, term, tf, {h('term')} AS hv FROM tf),
+bitsum AS (SELECT doc_id, ps.p,
+                  sum(CASE WHEN ((hv >> ps.p) & 1) = 1 THEN tf ELSE -tf END) AS s
+           FROM tfh CROSS JOIN (SELECT unnest(range(16)) AS p) ps
+           GROUP BY doc_id, ps.p)
+SELECT doc_id,
+       cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bitsum GROUP BY doc_id"""
+
+    cos_ab = _COS.format(a="a.v", b="b.v")
+    oracles["dedup_embedding"] = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round({cos_ab}, 6) AS cosine
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35"""
+
+    cos_qv = _COS.format(a="q.qv", b="e.v")
+    oracles["ann_brute_force"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (SELECT q.query_id, e.vec_id, round({cos_qv}, 6) AS cosine
+           FROM e CROSS JOIN q),
+r AS (SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id, rank::BIGINT AS rank, vec_id, cosine FROM r WHERE rank <= 10"""
+
+    oracles["ann_lsh"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dots AS (SELECT vec_id, {lsh_dots} FROM e)
+SELECT vec_id, {lsh_bucket} AS bucket FROM dots"""
+
+    oracles["lang_id"] = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS toks FROM documents),
+markers AS (SELECT * FROM (VALUES {_MARKER_VALUES}) AS m(lang_cand, tok)),
+votes AS (SELECT doc_id, lang_cand, count(*) AS hits
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) t
+          JOIN markers USING (tok) GROUP BY doc_id, lang_cand),
+best AS (SELECT doc_id, lang_cand, hits,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY hits DESC, lang_cand) AS rn
+         FROM votes)
+SELECT d.doc_id, coalesce(b.lang_cand, 'und') AS pred_lang,
+       coalesce(b.hits, 0)::BIGINT AS hits
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id"""
+
+    oracles["quality"] = f"""
+WITH m AS (
+  SELECT doc_id,
+    length(text)::BIGINT AS n_chars,
+    len({TOK})::BIGINT AS n_tokens,
+    round(list_sum(list_transform({TOK}, t -> length(t)))::DOUBLE
+          / nullif(len({TOK}), 0)::DOUBLE, 6) AS avg_tok_len,
+    round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+          / nullif(length(text), 0)::DOUBLE, 6) AS punct_ratio,
+    round(len(list_filter({TOK}, t -> t IN ({_STOPWORD_LIST})))::DOUBLE
+          / nullif(len({TOK}), 0)::DOUBLE, 6) AS stop_ratio
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens, avg_tok_len, punct_ratio, stop_ratio,
+  round((
+    (CASE WHEN n_tokens >= 3 AND n_tokens <= 100000 THEN 1 ELSE 0 END)
+    + (CASE WHEN avg_tok_len >= 2.0 AND avg_tok_len <= 12.0 THEN 1 ELSE 0 END)
+    + (CASE WHEN coalesce(punct_ratio, 1.0) <= 0.3 THEN 1 ELSE 0 END)
+    + (CASE WHEN coalesce(stop_ratio, 0.0) >= 0.01 THEN 1 ELSE 0 END)
+  )::DOUBLE / 4.0, 6) AS quality
+FROM m"""
+
+    oracles["token_counts"] = r"""
+SELECT doc_id,
+  (CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT
+    AS ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))::BIGINT
+    AS bpe_tokens
+FROM documents"""
+
+    oracles["fingerprint"] = f"""
+WITH toks AS (SELECT doc_id, {TOK} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+        FROM toks),
+fp AS (SELECT doc_id,
+              bit_xor(({h('tok')} & 2147483647) * (((pos - 1) % 97) + 1)) AS fp
+       FROM pos GROUP BY doc_id)
+SELECT d.doc_id, coalesce(fp.fp, 0)::BIGINT AS fp
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id"""
+
+    oracles["multimodal_meta"] = """
+SELECT doc_id AS id, 'image' AS kind,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha256
+FROM documents"""
+
+    oracles["events_minutely"] = """
+SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, event_type,
+       count(*) AS n,
+       cast(sum(cast(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    oracles["events_sessions"] = """
+WITH g AS (
+  SELECT user_id, event_id,
+         date_diff('microsecond',
+                   lag(ts, 1) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id), ts) AS gap
+  FROM events)
+SELECT user_id,
+       cast(sum(CASE WHEN gap IS NULL OR gap > 600 * 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id"""
+
+    oracles["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+  cast(sum(cast(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+  cast(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+       AS DOUBLE) AS sum_disc_price,
+  round(avg(l_quantity), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+    oracles["top_customers"] = """
+WITH rev AS (
+  SELECT o_custkey,
+         cast(sum(cast(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT c.c_custkey::BIGINT AS c_custkey, c.c_name, rev.revenue, rev.n_orders
+FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+ORDER BY revenue DESC, c_custkey LIMIT 10"""
+
+    return oracles
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "count_match_all": q_count_match_all,
+    "doclen": q_doclen,
+    "term_frequencies": q_term_frequencies,
+    "doc_freq": q_doc_freq,
+    "corpus_stats": q_corpus_stats,
+    "idf": q_idf,
+    "bm25_topk": q_bm25_topk,
+    "bm25_queryset": q_bm25_queryset,
+    "postings_lists": q_postings_lists,
+    "doc_sharding": q_doc_sharding,
+    "engine_doclen": q_engine_doclen,
+    "engine_count": q_engine_count,
+    "engine_bm25_scores": q_engine_bm25_scores,
+    "engine_bm25_wand": q_engine_bm25_wand,       # rows-only
+    "lifecycle_retention": q_lifecycle_retention,
+    "lifecycle_alias_gate": q_lifecycle_alias_gate,
+    "catalog_indices_by_age": q_catalog_indices_by_age,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_brute_force": q_ann_brute_force,
+    "ann_lsh": q_ann_lsh,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,  # rows-only (stubbed codec)
+    "events_minutely": q_events_minutely,
+    "events_sessions": q_events_sessions,
+    "tpch_q1": q_tpch_q1,
+    "top_customers": q_top_customers,
+}
+
+ORACLES: dict[str, str] = build_oracles()
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Flagship: full engine BM25 top-10 (WAND) on sf0.001, doc keys attached."""
+    sf_dir = "/root/testdata/sf0.001"
+    gen = _generation_for(spark, sf_dir)
+    res = engine_topk(spark, gen, FLAGSHIP_TERMS, k=10, wand=True)
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    return (res.join(doclen.select("doc_id", "repo", "path", "lang"), "doc_id")
+            .select(_orig_id_from_path().alias("doc_id"), "repo", "lang",
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id")))

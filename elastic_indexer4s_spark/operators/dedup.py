@@ -1,0 +1,281 @@
+"""Deduplication operators for large-scale corpus curation.
+
+The reference pipeline's job is corpus -> index (`ElasticIndexer4s.scala:25-43`
+stream -> bulk sink); in a 100 TB training-data pipeline the step immediately
+before indexing is dedup.  All operators here are pure DataFrame compositions
+(no Python in the hot path) so Catalyst/Tungsten keep them in whole-stage
+codegen, and every hash is the portable md5-derived 60-bit value
+(functions/hashing.py) so results are reproducible across engines.
+
+Scale design (1000-executor / 100 TB):
+
+* **exact_dedup** — one shuffle on a 16-byte content hash (never on the
+  content itself); window aggregation over the hash partition.
+* **ngram/minhash** — shingling is per-row (window over doc-local positions —
+  docs are small, so each window partition is tiny); the candidate-pair
+  self-join shuffles on the shingle/bucket key.  Stopword-like hot shingles
+  are the skew hazard: `max_shingle_df` drops shingles whose document
+  frequency exceeds a cutoff (standard LSH practice — a shingle shared by
+  every doc carries no dedup signal but creates O(df^2) pairs).
+* **minhash_lsh_pairs** — banding keeps the self-join key (band, bucket)
+  high-cardinality: candidate volume is tunable via (num_hashes, bands)
+  instead of exploding the full pair matrix.
+* **embedding_dup_pairs** — pairwise cosine restricted to a caller-supplied
+  blocking column; at scale the block is an LSH bucket (similarity.py), never
+  the full cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.tokenizer import simple_tokens_expr
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, canonical_id, group_size): canonical = min id per identical text.
+
+    Shuffles the md5 of the content, not the content: at 100 TB the exchange
+    carries 16 bytes + id per row.
+    """
+    w = Window.partitionBy("_h")
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .select(id_col, "canonical_id", "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles
+# ---------------------------------------------------------------------------
+
+def word_ngrams(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, ngram).
+
+    Shingling uses lead() over doc-local token positions — each window
+    partition is one document, so no cross-doc shuffle pressure; the
+    repartition key is the id, which is unique (no skew by construction).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(simple_tokens_expr(F.col(text_col))).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = toks.select(
+        F.col(id_col),
+        F.concat_ws(" ", *cols).alias("ngram"),
+        cols[-1].alias("_last"))
+    return grams.filter(F.col("_last").isNotNull()).select(id_col, "ngram").distinct()
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b) with exact n-gram Jaccard >= threshold.
+
+    inter-counts come from a self-join on the shingle; union = |A|+|B|-inter.
+    `max_shingle_df` prunes hot shingles before the join (skew guard).
+    """
+    sh = word_ngrams(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("ngram").agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_shingle_df).select("ngram"))
+        sh = sh.join(F.broadcast(hot), "ngram", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "ngram")
+    b = sh.select(F.col(id_col).alias("id_b"), "ngram")
+    inter = (
+        a.join(b, "ngram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("_i"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnsRenamed({id_col: "id_a", "_n": "_na"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "_n": "_nb"}), "id_b")
+        .withColumn("jaccard", F.col("_i").cast("double")
+                    / (F.col("_na") + F.col("_nb") - F.col("_i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 16,
+                       n: int = 3) -> DataFrame:
+    """(id, h, minhash): num_hashes independent min-hashes of the shingle set.
+
+    Hash family: md5_long(h || ':' || shingle) — portable across engines.
+    The groupBy(id, h) aggregation is map-side combinable; no skew (keys are
+    unique ids x small h).
+    """
+    sh = word_ngrams(df, id_col, text_col, n)
+    hashed = sh.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
+        F.col("ngram"),
+    ).withColumn(
+        "hv", md5_long(F.concat_ws(":", F.col("h").cast("string"), F.col("ngram"))))
+    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 16,
+                      bands: int = 4, n: int = 3,
+                      min_est_sim: float = 0.5) -> DataFrame:
+    """LSH candidate pairs + estimated Jaccard (fraction of matching minhashes).
+
+    Bucket = md5 of the band's ordered signature slice; candidates are pairs
+    sharing >= 1 (band, bucket); est_sim verified over the full signature.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    band_sig = (
+        sig.withColumn("band", (F.col("h") / F.lit(rows_per_band)).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "minhash"))),
+                lambda s: s["minhash"].cast("string")),
+            ",").alias("bucket"))
+    )
+    a = band_sig.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = band_sig.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    sa = sig.select(F.col(id_col).alias("id_a"), "h", F.col("minhash").alias("_ma"))
+    sb = sig.select(F.col(id_col).alias("id_b"), "h", F.col("minhash").alias("_mb"))
+    est = (
+        cand.join(sa, "id_a").join(sb, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.avg(
+            F.when(F.col("_ma") == F.col("_mb"), 1.0).otherwise(0.0)), 6)
+            .alias("est_sim"))
+    )
+    return est.filter(F.col("est_sim") >= min_est_sim)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """(id, simhash): tf-weighted sign fingerprint over `bits` bit positions.
+
+    Each token contributes +tf to bit p if bit p of its portable hash is set,
+    else -tf; the fingerprint sets bit p iff the sum is > 0.  Everything is a
+    Spark built-in (explode + bit ops + two map-side-combinable aggregates).
+    """
+    tf = (
+        df.select(F.col(id_col),
+                  F.explode(simple_tokens_expr(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("hv", md5_long(F.col("tok")))
+    )
+    per_bit = (
+        tf.select(
+            F.col(id_col), "tf", "hv",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("p"))
+        .withColumn("w", F.when(
+            F.expr("shiftright(hv, p) & 1") == 1,
+            F.col("tf")).otherwise(-F.col("tf")))
+        .groupBy(id_col, "p").agg(F.sum("w").alias("s"))
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.sum(F.when(F.col("s") > 0,
+                     F.expr("shiftleft(cast(1 as bigint), p)"))
+              .otherwise(F.lit(0).cast("long"))).alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", bits: int = 16,
+                  max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation joins on byte-bands of the fingerprint (pigeonhole:
+    distance <= d means two of d+1 bands match exactly for at least one band),
+    then verifies with bit_count(xor).  Works at scale because the join key is
+    (band, band_value), not the full fingerprint.
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    sh = simhash(df, id_col, text_col, bits)
+    banded = sh.select(
+        F.col(id_col), "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "bv",
+        F.expr(f"shiftright(simhash, band * {band_bits}) & {(1 << band_bits) - 1}"))
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("_sa"), "band", "bv")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("_sb"), "band", "bv")
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns in float64 (JVM-side:
+    zip_with + aggregate stay in codegen; no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / F.nullif(na * nb, F.lit(0.0))
+
+
+def embedding_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        block_col: str | None = "label",
+                        threshold: float = 0.9) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    `block_col` bounds the pair space (at scale: an LSH bucket from
+    similarity.lsh_buckets); the join shuffles on the block key only.
+    """
+    cols = [F.col(id_col), F.col(vec_col)]
+    if block_col:
+        cols.append(F.col(block_col))
+    base = df.select(*cols)
+    on = [block_col] if block_col else []
+    a = base.select(*([F.col(block_col)] if block_col else []),
+                    F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = base.select(*([F.col(block_col)] if block_col else []),
+                    F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    joined = a.join(b, on) if on else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
