@@ -1,0 +1,137 @@
+"""Headline benchmark: index-build throughput + BM25 query latency + the
+operator suite, at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Extra keys (build_files_per_sec, query_p50_ms, query_p99_ms, cpus,
+build_docs) quantify the BASELINE.json targets directly.
+
+The build corpus is the sf documents table replicated REPLICATE x with
+shifted doc ids — deterministic, no external data — sized so task work
+dominates fixed JVM/session cost and parallelism is actually exercised
+(that's what the local[8]-vs-local[32] scaling run measures).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "40"))
+QUERY_RUNS = int(os.environ.get("BENCH_QUERY_RUNS", "30"))
+
+BENCH_QUERIES = [
+    "bm25_topk", "bm25_queryset", "doc_freq", "postings_lists",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "ann_brute_force", "lang_id", "quality",
+    "fingerprint", "events_minutely", "tpch_q1", "top_customers",
+]
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from elastic_indexer4s_spark import driver_contract as dc
+    from elastic_indexer4s_spark.config import IndexConfig
+    from elastic_indexer4s_spark.operators.build import build_index
+    from elastic_indexer4s_spark.operators.query import serve_topk
+    from elastic_indexer4s_spark.results import RunResult
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("ei4s-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t_total = time.monotonic()
+    timings: dict[str, float] = {}
+
+    # --- index-build throughput -----------------------------------------
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_base = docs.count()
+    reps = spark.range(REPLICATE).select(F.col("id").alias("rep"))
+    big = (docs.crossJoin(reps)
+           .select((F.col("doc_id") + F.col("rep") * F.lit(n_base))
+                   .alias("doc_id"),
+                   "text", "lang", "source", "n_chars")
+           .repartition(CPUS * 2))
+    corpus = dc.corpus_shaped(big)
+    n_docs = n_base * REPLICATE
+    gen = os.path.join(tempfile.gettempdir(), "ei4s_bench_gen")
+    shutil.rmtree(gen, ignore_errors=True)
+    cfg = IndexConfig(num_shards=CPUS, block_size=128)
+    t0 = time.monotonic()
+    res = build_index(spark, corpus, cfg, gen)
+    build_sec = time.monotonic() - t0
+    assert isinstance(res, RunResult), str(res)
+    timings["index_build"] = round(build_sec, 3)
+    files_per_sec = n_docs / build_sec
+
+    # --- query latency over the built index ------------------------------
+    terms_cycle = [["spark", "join"], ["window", "batch"], ["merge"],
+                   ["customer", "table", "scan"]]
+    lat = []
+    for i in range(QUERY_RUNS):
+        terms = terms_cycle[i % len(terms_cycle)]
+        tq = time.monotonic()
+        serve_topk(spark, gen, terms, k=10, wand=True)
+        lat.append(time.monotonic() - tq)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+    timings["bm25_query_p50"] = round(p50, 3)
+    timings["bm25_query_p99"] = round(p99, 3)
+
+    # --- operator suite ---------------------------------------------------
+    for name in BENCH_QUERIES:
+        fn = dc.QUERIES[name]
+        tq = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - tq, 3)
+        _ = n
+
+    total = time.monotonic() - t_total
+    print(json.dumps({
+        "metric": "index_build_plus_query_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(SF_DIR),
+        "cpus": CPUS,
+        "build_docs": n_docs,
+        "build_files_per_sec": round(files_per_sec, 1),
+        "query_p50_ms": round(p50 * 1000, 1),
+        "query_p99_ms": round(p99 * 1000, 1),
+    }))
+    shutil.rmtree(gen, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -215,8 +215,10 @@ def _bm25_scores(spark: SparkSession, sf_dir: str,
     matching docs.  Shared by the top-k variants."""
     d = _docs(spark, sf_dir)
     n_docs = d.count()
-    tf = q_term_frequencies(spark, sf_dir)
-    dl = q_doclen(spark, sf_dir).select("doc_id", "dl")
+    # tf feeds both the df aggregate and the scoring join, dl feeds avg_dl
+    # and the join — persist so the corpus is tokenized once, not three times.
+    tf = q_term_frequencies(spark, sf_dir).persist()
+    dl = q_doclen(spark, sf_dir).select("doc_id", "dl").persist()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avg_dl_row = dl.agg(F.avg("dl")).collect()[0][0]
     avg_dl = float(avg_dl_row or 0.0)

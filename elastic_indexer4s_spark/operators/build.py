@@ -103,10 +103,14 @@ def build_postings_stream(tf_df: DataFrame, cfg: IndexConfig,
     across batch boundaries, so memory is O(largest single posting list) =
     O(docs per shard) — bounded by construction.
     """
-    P = num_partitions or tf_df.sparkSession.sparkContext.defaultParallelism
+    # partition by shard ALONE (not shard+term): every task then holds whole
+    # shards, so the partitionBy(shard) writer emits ~1 file per shard instead
+    # of one file per (task, shard) pair — tiny-file explosion at query time.
+    # Parallelism = num_shards, which at production scale is sized >> cores.
+    P = num_partitions or cfg.num_shards
     block = cfg.block_size
     arranged = (
-        tf_df.repartition(P, "shard", "term")
+        tf_df.repartition(P, "shard")
         .sortWithinPartitions("shard", "term", "doc_id")
     )
 
@@ -227,6 +231,14 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
     t0 = time.monotonic()
     meter = spark.sparkContext.accumulator(0)  # throughput meter (A5)
 
+    # tokenize + doc-id assignment happen ONCE; the persisted frame feeds
+    # both the doclen write and the postings build (at 100 TB, re-tokenizing
+    # the corpus per consumer would double the dominant scan+CPU cost).
+    docs_tok = tokenized_docs(source_df, cfg, use_pandas_udf)
+    if cfg.on_error == "skip":
+        docs_tok = docs_tok.filter(F.col("content").isNotNull())
+    docs_tok = docs_tok.persist()
+
     def stage_create() -> StageSucceeded:
         os.makedirs(generation_dir, exist_ok=True)
         with open(os.path.join(generation_dir, "_meta.json"), "w") as f:
@@ -234,24 +246,29 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         return StageSucceeded(f"Created index generation {generation_dir}")
 
     def stage_doclen() -> StageSucceeded:
-        docs_tok = tokenized_docs(source_df, cfg, use_pandas_udf)
-        if cfg.on_error == "skip":
-            docs_tok = docs_tok.filter(F.col("content").isNotNull())
         (docs_tok.select(*DOCLEN_COLS)
+         .repartition(cfg.num_shards, "shard")  # ~1 file per shard dir
          .write.mode("overwrite").partitionBy("shard")
          .parquet(os.path.join(generation_dir, "doclen")))
         return StageSucceeded("Wrote doclen table")
 
     def stage_postings() -> StageSucceeded:
-        docs_tok = tokenized_docs(source_df, cfg, use_pandas_udf)
-        if cfg.on_error == "skip":
-            docs_tok = docs_tok.filter(F.col("content").isNotNull())
         tf_df = term_frequencies(docs_tok)
         postings = (build_postings_salted(tf_df, cfg) if salted
                     else build_postings_stream(tf_df, cfg))
         (postings.write.mode("overwrite").partitionBy("shard")
          .parquet(os.path.join(generation_dir, "postings")))
         return StageSucceeded("Wrote postings")
+
+    def stage_dictionary() -> StageSucceeded:
+        # global term dictionary (term -> corpus-wide df): queries read this
+        # tiny pushdown-filtered table instead of re-aggregating postings.
+        postings = spark.read.parquet(os.path.join(generation_dir, "postings"))
+        (postings.groupBy("term").agg(F.sum("df").alias("df"))
+         .coalesce(1)
+         .write.mode("overwrite")
+         .parquet(os.path.join(generation_dir, "dictionary")))
+        return StageSucceeded("Wrote term dictionary")
 
     def stage_stats() -> StageSucceeded:
         doclen = spark.read.parquet(os.path.join(generation_dir, "doclen"))
@@ -293,10 +310,12 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         ("create", stage_create),
         ("doclen", stage_doclen),
         ("postings", stage_postings),
+        ("dictionary", stage_dictionary),
         ("stats", stage_stats),
         ("lineage", stage_lineage),
         ("verify", stage_verify),
     ])
+    docs_tok.unpersist()
     if isinstance(result, RunResult):
         elapsed = time.monotonic() - t0
         result.succeeded_stages.append(

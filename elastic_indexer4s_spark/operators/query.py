@@ -49,6 +49,27 @@ def load_stats(generation_dir: str) -> dict:
         return json.load(f)
 
 
+# Per-generation reader cache: generations are immutable once built (new runs
+# create NEW generation dirs, reference ElasticWriteConfig.scala:23), so the
+# parquet file listing + schema can be resolved once per process instead of on
+# every query — re-listing hundreds of files per call dominated query latency.
+_READERS: dict[tuple, dict[str, DataFrame]] = {}
+
+
+def _readers_for(spark: SparkSession, generation_dir: str) -> dict[str, DataFrame]:
+    key = (id(spark), os.path.abspath(generation_dir),
+           os.path.getmtime(os.path.join(generation_dir, "stats.json")))
+    r = _READERS.get(key)
+    if r is None:
+        r = {"postings": spark.read.parquet(
+                os.path.join(generation_dir, "postings"))}
+        dict_path = os.path.join(generation_dir, "dictionary")
+        if os.path.exists(dict_path):
+            r["dictionary"] = spark.read.parquet(dict_path)
+        _READERS[key] = r
+    return r
+
+
 def load_config(generation_dir: str) -> IndexConfig:
     with open(os.path.join(generation_dir, "_meta.json")) as f:
         return IndexConfig.from_json(f.read())
@@ -68,8 +89,22 @@ def _idf(n_docs: int, df: int) -> float:
 
 
 def global_dfs(postings: DataFrame) -> dict[str, int]:
+    """Fallback: aggregate per-shard dfs (one pass over the filtered rows)."""
     rows = postings.groupBy("term").agg(F.sum("df").alias("df")).collect()
     return {r["term"]: int(r["df"]) for r in rows}
+
+
+def lookup_dfs(spark: SparkSession, generation_dir: str, terms: list[str],
+               postings: DataFrame) -> dict[str, int]:
+    """Global df per query term, preferring the build-time `dictionary`
+    dataset (tiny scan with `term IN (...)` pushdown) over re-aggregating
+    postings; falls back for pre-dictionary generations."""
+    dict_path = os.path.join(generation_dir, "dictionary")
+    if os.path.exists(dict_path):
+        rows = (spark.read.parquet(dict_path)
+                .filter(F.col("term").isin(terms)).collect())
+        return {r["term"]: int(r["df"]) for r in rows}
+    return global_dfs(postings)
 
 
 def _score_arrays(tf: np.ndarray, dl: np.ndarray, idf: float,
@@ -189,20 +224,34 @@ def topk(spark: SparkSession, generation_dir: str, query_terms: list[str],
     if not terms or n_docs == 0 or avg_dl == 0:
         return empty
 
-    postings = (
-        spark.read.parquet(os.path.join(generation_dir, "postings"))
-        .filter(F.col("term").isin(terms))
-    )
-    dfs = global_dfs(postings)
-    if not dfs:
-        return empty
-    idfs = {t: _idf(n_docs, df) for t, df in dfs.items()}
+    readers = _readers_for(spark, generation_dir)
+    postings = readers["postings"].filter(F.col("term").isin(terms))
+    # global df rides into the scoring task via a broadcast join with the
+    # build-time dictionary — the whole query is ONE Spark action (scan +
+    # score + merge), no separate driver-side df lookup job.
+    idfs: dict[str, float] | None
+    if "dictionary" in readers:
+        d = (readers["dictionary"]
+             .filter(F.col("term").isin(terms))
+             .withColumnRenamed("df", "df_g"))
+        postings = postings.join(F.broadcast(d), "term", "inner")
+        idfs = None
+    else:  # pre-dictionary generations: one tiny aggregate job
+        dfs = global_dfs(postings)
+        if not dfs:
+            return empty
+        idfs = {t: _idf(n_docs, df) for t, df in dfs.items()}
     k1, b = cfg.k1, cfg.b
     scorer = _shard_wand if wand else _shard_exhaustive
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if idfs is None:
+            local_idfs = {t: _idf(n_docs, int(g))
+                          for t, g in zip(pdf["term"], pdf["df_g"])}
+        else:
+            local_idfs = idfs
         encs = [(r["term"], row_to_enc(r)) for _, r in pdf.iterrows()]
-        return scorer(encs, idfs, k1, b, float(avg_dl), k)
+        return scorer(encs, local_idfs, k1, b, float(avg_dl), k)
 
     local = postings.groupBy("shard").applyInPandas(
         score_shard, schema="doc_id long, score double")
@@ -212,3 +261,25 @@ def topk(spark: SparkSession, generation_dir: str, query_terms: list[str],
 def count_index(spark: SparkSession, generation_dir: str) -> int:
     """Match-all doc count (reference `EsOpsClientApi.scala:89-90`)."""
     return spark.read.parquet(os.path.join(generation_dir, "doclen")).count()
+
+
+def serve_topk(spark: SparkSession, generation_dir: str,
+               query_terms: list[str], k: int = 10, *,
+               wand: bool = True) -> list:
+    """Latency-optimized point-query execution (returns collected rows).
+
+    Tiny scatter-gather plans lose ~0.5s to AQE's staged re-optimization and
+    to oversized shuffle fan-out, so both are narrowed around the action —
+    this is the serving path a search frontend calls; `topk` remains the
+    composable DataFrame API.
+    """
+    conf = spark.conf
+    saved = {key: conf.get(key) for key in
+             ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")}
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return topk(spark, generation_dir, query_terms, k, wand=wand).collect()
+    finally:
+        for key, val in saved.items():
+            conf.set(key, val)
