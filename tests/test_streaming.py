@@ -1,0 +1,86 @@
+"""Structured-Streaming incremental index build: per-batch segments,
+checkpointed resume, multi-segment scatter-gather query, event-time windows."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from elastic_indexer4s_spark.config import IndexConfig
+from elastic_indexer4s_spark.plans.catalog import GenerationCatalog
+from elastic_indexer4s_spark.streaming.incremental import (
+    incremental_index, topk_multi, windowed_doc_counts)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _write_batch(spark, in_dir: str, tag: str, rows):
+    (spark.createDataFrame(rows, SCHEMA)
+     .coalesce(1).write.mode("append").parquet(in_dir))
+    _ = tag
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    return (str(tmp_path / "in"), str(tmp_path / "idx"), str(tmp_path / "ck"))
+
+
+def _rows(tag: str, n: int, marker: str = ""):
+    return [(f"org/{tag}", f"src/{tag}/f{i}.py", f"c{tag}{i}", "python",
+             f"def handler_{tag}_{i}(): return {marker or 'value'} + spark_job")
+            for i in range(n)]
+
+
+def test_incremental_segments_and_resume(spark, stream_dirs):
+    in_dir, idx_root, ck = stream_dirs
+    cfg = IndexConfig(index_prefix="seg", num_shards=2, block_size=16)
+    _write_batch(spark, in_dir, "b1", _rows("alpha", 20, "zqfirstmarker"))
+
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    built1 = incremental_index(spark, stream, idx_root, cfg, ck)
+    assert len(built1) == 1
+
+    # new arrivals -> a second drain builds ONLY the delta (checkpoint resume)
+    _write_batch(spark, in_dir, "b2", _rows("beta", 30, "zqsecondmarker"))
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    built2 = incremental_index(spark, stream, idx_root, cfg, ck)
+    assert len(built2) == 1 and built2[0] not in built1
+
+    cat = GenerationCatalog(idx_root)
+    sizes = [cat.size_for(s) for s in built1 + built2]
+    assert sizes == [20, 30]
+
+    # marker from batch 1 only hits segment 1; common term hits both
+    hits1 = topk_multi(spark, idx_root, ["zqfirstmarker"], k=50).collect()
+    assert {r["segment"] for r in hits1} == set(built1)
+    assert len(hits1) == 20
+    both = topk_multi(spark, idx_root, ["spark"], k=100).collect()
+    assert {r["segment"] for r in both} == set(built1 + built2)
+    assert len(both) == 50
+
+    # draining again with nothing new builds nothing
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    assert incremental_index(spark, stream, idx_root, cfg, ck) == []
+
+
+def test_windowed_doc_counts(spark, tmp_path):
+    in_dir = str(tmp_path / "ev")
+    rows = [("2024-01-01 00:00:10",), ("2024-01-01 00:00:50",),
+            ("2024-01-01 00:01:10",), ("2024-01-01 00:03:05",)]
+    (spark.createDataFrame(rows, "ts_s string")
+     .select(F.col("ts_s").cast("timestamp").alias("ts"))
+     .coalesce(1).write.parquet(in_dir))
+    stream = (spark.readStream.schema("ts timestamp").parquet(in_dir))
+    # complete mode: a single availableNow batch never advances the watermark
+    # past its own data, so append would (correctly) seal no windows yet.
+    out_q = (windowed_doc_counts(stream, "ts")
+             .writeStream.format("memory").queryName("win_counts")
+             .outputMode("complete")
+             .option("checkpointLocation", str(tmp_path / "ck2"))
+             .trigger(availableNow=True).start())
+    out_q.awaitTermination()
+    got = {(str(r["window_start"]), r["n_docs"])
+           for r in spark.sql("SELECT * FROM win_counts").collect()}
+    assert ("2024-01-01 00:00:00", 2) in got
+    assert ("2024-01-01 00:01:00", 1) in got
+    assert ("2024-01-01 00:03:00", 1) in got
