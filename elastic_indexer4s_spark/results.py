@@ -53,12 +53,17 @@ def run_stages(stages: Iterable[tuple[str, Stage]]) -> RunResult | IndexError:
     `IndexableStream.scala:12-48`): run stages in order; on the first
     exception return an ``IndexError`` carrying every stage that already
     succeeded.  Never raises."""
+    import time
+
     done: list[StageSucceeded] = []
     for name, stage in stages:
+        t0 = time.monotonic()
         try:
-            done.append(stage())
+            ok = stage()
         except IndexError as e:  # nested pipeline error: merge stage logs
             return IndexError(e.msg, e.cause, done + e.succeeded_stages)
         except BaseException as e:  # noqa: BLE001 — mirrors NonFatal recover
             return IndexError(f"stage '{name}' failed: {e}", e, done)
+        done.append(StageSucceeded(
+            f"{ok.msg} [{time.monotonic() - t0:.2f}s]"))
     return RunResult(done)

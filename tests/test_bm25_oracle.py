@@ -31,14 +31,30 @@ def py_oracle(spark, tiny_index, tiny_corpus):
 def test_doc_ids_dense_and_deterministic(spark, tiny_index):
     gen, cfg = tiny_index
     doclen = spark.read.parquet(f"{gen}/doclen")
-    ids = sorted(r["doc_id"] for r in doclen.select("doc_id").collect())
-    assert ids == list(range(len(ids)))  # dense 0..N-1
-    # shard ranges are contiguous (doc-sharded layout)
+    ids = [r["doc_id"] for r in doclen.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))  # unique
+    # shard-local density: ids are shard<<SHARD_BITS .. +n-1 (doc-sharded)
+    from elastic_indexer4s_spark.operators.docids import SHARD_BITS
     rng = doclen.groupBy("shard").agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
         F.count(F.lit(1)).alias("n")).collect()
     for r in rng:
+        assert r["lo"] == r["shard"] << SHARD_BITS
         assert r["hi"] - r["lo"] + 1 == r["n"]
+
+
+def test_doc_ids_global_dense(spark, tiny_corpus):
+    from elastic_indexer4s_spark.operators.docids import with_doc_ids
+    rows = [(d.repo, d.path, d.commit, d.lang, d.content) for d in tiny_corpus]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    out = with_doc_ids(df, ["repo", "path", "commit"], 4, dense="global")
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == list(range(len(rows)))  # dense 0..N-1
+    again = with_doc_ids(df, ["repo", "path", "commit"], 4, dense="global")
+    m1 = {(r["repo"], r["path"]): r["doc_id"] for r in out.collect()}
+    m2 = {(r["repo"], r["path"]): r["doc_id"] for r in again.collect()}
+    assert m1 == m2  # deterministic across runs
 
 
 def test_stats_match_oracle(spark, tiny_index, py_oracle):

@@ -60,3 +60,35 @@ def test_corpus_tokens_nonempty():
     # determinism
     docs2 = make_corpus(50)
     assert [d.content for d in docs] == [d.content for d in docs2]
+
+
+def test_single_pass_grammar_equals_multipass(spark):
+    """The default tokens_expr takes a single-regex extraction path; it must
+    be indistinguishable from the explicit multi-pass chain and the pure-
+    Python twin on adversarial + random inputs."""
+    import random
+    import string
+
+    from elastic_indexer4s_spark.functions.tokenizer import (
+        tokenize_py, tokens_expr, tokens_expr_multipass)
+    from elastic_indexer4s_spark.config import TokenizerConfig
+    from pyspark.sql import functions as F
+
+    cases = ["HTMLParser", "HTML2x", "getUserID2", "snake_case_name",
+             "AB2Cd", "A2B3c", "xyzABCdef", "AB2CD", "AB2Cd3EF", "A2BCde",
+             "ABC2d", "ABCd2E", "2Cd", "ab_CD", "", "a", "x" * 70,
+             "éclair café", "MixedCASE2moreStuff", "ALLCAPS", "__init__"]
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + "_ .-(){}\n\t/#é"
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+              for _ in range(500)]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    cfg = TokenizerConfig()
+    rows = df.select(
+        "text",
+        tokens_expr(F.col("text"), cfg).alias("fast"),
+        tokens_expr_multipass(F.col("text"), cfg).alias("multi"),
+    ).collect()
+    for r in rows:
+        assert r["fast"] == r["multi"], r["text"]
+        assert r["fast"] == tokenize_py(r["text"], cfg), r["text"]
