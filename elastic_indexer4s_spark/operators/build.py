@@ -57,15 +57,28 @@ def tokenized_docs(df: DataFrame, cfg: IndexConfig, use_pandas_udf: bool = False
     ``use_pandas_udf`` switches the analyzer between the whole-stage-codegen
     Catalyst expression chain (default, fastest) and the Arrow ``pandas_udf``
     (identical output; kept first-class per the north-star).
+
+    The CPU-heavy per-row work (sha256 + analyzer) runs BEFORE the doc-id
+    exchange, in the scan stage: scan parallelism is bounded by input splits
+    (≈ cores·n), while the post-exchange stage has at most ``num_shards``
+    tasks — measured on this box, tokenizing post-exchange starved 32 cores
+    down to ~21 busy tasks and tripled wall time.  Pre-shuffle compute also
+    lets Catalyst prune ``content``/``tokens`` out of the shuffle for
+    consumers that don't need them (doclen never shuffles token arrays).
+    ``on_error='skip'`` drops bad rows here, before ids, so skipped docs
+    don't occupy doc-id slots.
     """
-    ids = with_doc_ids(df, DOC_KEY, cfg.num_shards)
+    if cfg.on_error == "skip":
+        df = df.filter(F.col("content").isNotNull())
     tok = tokenize_udf(cfg.tokenizer)("content") if use_pandas_udf \
         else tokens_expr(F.col("content"), cfg.tokenizer)
-    return (
-        ids.withColumn("sha256", F.sha2(F.col("content"), 256))
+    enriched = (
+        df.withColumn("sha256", F.sha2(F.col("content"), 256))
         .withColumn("tokens", tok)
         .withColumn("dl", F.size("tokens").cast("long"))
+        .drop("content")
     )
+    return with_doc_ids(enriched, DOC_KEY, cfg.num_shards)
 
 
 def term_frequencies(docs_tok: DataFrame) -> DataFrame:
@@ -260,13 +273,15 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
     t0 = time.monotonic()
     meter = spark.sparkContext.accumulator(0)  # throughput meter (A5)
 
-    # tokenize + doc-id assignment happen ONCE; the persisted frame feeds
-    # both the doclen write and the postings build (at 100 TB, re-tokenizing
-    # the corpus per consumer would double the dominant scan+CPU cost).
+    # tokenize + doc-id assignment are recomputed per consumer, NOT cached:
+    # ids are pure functions of the data (operators/docids.py) so the two
+    # passes agree, and the single-pass codegen tokenizer is ~100x cheaper
+    # than materializing token arrays into the block-manager (measured: a
+    # .persist() here cost ~110-165s on 400k docs and destroyed 8->32-thread
+    # scaling via cache-eviction recompute; re-tokenizing costs ~2s/pass).
+    # At 100 TB the same logic holds — the tokenized corpus cannot live in
+    # cluster memory, so the scalable plan is scan-heavy, cache-free.
     docs_tok = tokenized_docs(source_df, cfg, use_pandas_udf)
-    if cfg.on_error == "skip":
-        docs_tok = docs_tok.filter(F.col("content").isNotNull())
-    docs_tok = docs_tok.persist()
 
     pending: list[int] | None = None  # None = full build
     if resume:
@@ -275,7 +290,6 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         pending = sorted(s for s, fp in current.items()
                          if done.get(s) != fp)
         if not pending:
-            docs_tok.unpersist()
             return RunResult([StageSucceeded(
                 "Resume: all shards up to date, nothing to build")])
         docs_tok_build = docs_tok.filter(F.col("shard").isin(pending))
@@ -298,10 +312,10 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         return StageSucceeded(f"{what} {generation_dir}")
 
     def stage_doclen() -> StageSucceeded:
-        write_partitioned(
-            docs_tok_build.select(*DOCLEN_COLS)
-            .repartition(cfg.num_shards, "shard"),  # ~1 file per shard dir
-            "doclen")
+        # docs_tok is already exchanged by _pid (= shard) for the id-assign
+        # window, so every task holds whole shards: partitionBy(shard) emits
+        # ~1 file per shard with NO extra repartition.
+        write_partitioned(docs_tok_build.select(*DOCLEN_COLS), "doclen")
         return StageSucceeded("Wrote doclen table")
 
     def stage_postings() -> StageSucceeded:
@@ -368,7 +382,6 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         ("lineage", stage_lineage),
         ("verify", stage_verify),
     ])
-    docs_tok.unpersist()
     if isinstance(result, RunResult):
         elapsed = time.monotonic() - t0
         result.succeeded_stages.append(
