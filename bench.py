@@ -56,16 +56,9 @@ def main() -> None:
     from elastic_indexer4s_spark.operators.query import serve_topk
     from elastic_indexer4s_spark.results import RunResult
 
-    spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("ei4s-bench")
-        .config("spark.sql.shuffle.partitions", str(CPUS))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", "24g")
-        .getOrCreate())
+    from elastic_indexer4s_spark.config import tuned_builder
+    spark = tuned_builder(f"local[{CPUS}]", "ei4s-bench",
+                          shuffle_partitions=CPUS).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     t_total = time.monotonic()

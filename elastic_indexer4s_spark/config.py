@@ -93,3 +93,38 @@ class EngineConfig:
 
 def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+#: JVM options every engine JVM (driver in local mode, executors on a
+#: cluster) should run with.  The analyzer + sha256 scan stage allocates
+#: short-lived strings at a very high rate; measured on this box, Java 17's
+#: default G1 collector collapses under that allocation rate as threads grow
+#: (1M-row tokenizer probe, scripts/profile_jvm.py: 70 s at 8 threads,
+#: 166 s at 32 — *anti*-scaling), while the throughput-oriented parallel
+#: collector scales it cleanly (15.9 s at 32 threads, 10.5x).  On a real
+#: cluster the same flag goes in ``spark.executor.extraJavaOptions``.
+ENGINE_JAVA_OPTIONS = "-XX:+UseParallelGC"
+
+
+def tuned_builder(master: str, app: str, *, shuffle_partitions: int,
+                  driver_mem: str = "24g", aqe: bool = True):
+    """SparkSession builder with the engine's recommended local-mode conf.
+
+    Centralizes what bench/scaling/tests all need: parallel GC (see
+    ``ENGINE_JAVA_OPTIONS``), Arrow enabled, UTC, quiet UI.
+    """
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", ENGINE_JAVA_OPTIONS)
+        .config("spark.executor.extraJavaOptions", ENGINE_JAVA_OPTIONS)
+    )

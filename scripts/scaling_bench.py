@@ -40,16 +40,10 @@ from elastic_indexer4s_spark.config import IndexConfig
 from elastic_indexer4s_spark.operators.build import build_index
 from elastic_indexer4s_spark.results import RunResult
 
+from elastic_indexer4s_spark.config import tuned_builder
 cpus, rep = int(sys.argv[1]), int(sys.argv[2])
-spark = (SparkSession.builder.master(f"local[{{cpus}}]")
-         .appName(f"ei4s-scale-{{cpus}}")
-         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 32)))
-         .config("spark.sql.adaptive.enabled", "true")
-         .config("spark.sql.session.timeZone", "UTC")
-         .config("spark.ui.enabled", "false")
-         .config("spark.ui.showConsoleProgress", "false")
-         .config("spark.driver.memory", "24g")
-         .getOrCreate())
+spark = tuned_builder(f"local[{{cpus}}]", f"ei4s-scale-{{cpus}}",
+                      shuffle_partitions=max(cpus * 2, 32)).getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(os.path.join({sf_dir!r}, "documents.parquet"))
 n_base = docs.count()

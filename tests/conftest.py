@@ -10,17 +10,9 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = (
-        SparkSession.builder.master("local[4]")
-        .appName("elastic_indexer4s_spark_tests")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
-        .getOrCreate()
-    )
+    from elastic_indexer4s_spark.config import tuned_builder
+    s = tuned_builder("local[4]", "elastic_indexer4s_spark_tests",
+                      shuffle_partitions=8, driver_mem="8g").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
