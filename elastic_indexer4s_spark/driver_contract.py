@@ -299,6 +299,19 @@ def q_engine_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("score", 6).alias("score")))
 
 
+def q_engine_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive match (ES `match` with operator=and): only docs containing
+    EVERY query term, full engine path, set semantics (value-checked)."""
+    gen = _generation_for(spark, sf_dir)
+    res = engine_topk(spark, gen, FLAGSHIP_TERMS, k=1_000_000,
+                      wand=False, mode="and")
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
+    return (res.join(ids, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 6).alias("score")))
+
+
 def q_engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND top-k (non-SQL-expressible k-boundary handling lives in
     tests; here WAND must agree with the exhaustive oracle on the full set of
@@ -619,6 +632,15 @@ FROM documents"""
 WITH {_bm25_sql(_flagship_values(), CODE_TOK)}
 SELECT doc_id, score FROM agg"""
 
+    # conjunctive: keep docs matched by ALL query terms (scored has exactly
+    # one row per (query_id, doc_id, term), so count(*) = matched terms)
+    oracles["engine_bm25_and"] = f"""
+WITH {_bm25_sql(_flagship_values(), CODE_TOK)},
+cnt AS (SELECT query_id, doc_id, count(*) AS nt
+        FROM scored GROUP BY query_id, doc_id)
+SELECT agg.doc_id, agg.score FROM agg JOIN cnt USING (query_id, doc_id)
+WHERE cnt.nt = {len(FLAGSHIP_TERMS)}"""
+
     # lifecycle
     oracles["lifecycle_retention"] = f"""
 WITH cat AS (SELECT * FROM {_catalog_values()}),
@@ -846,6 +868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_doclen": q_engine_doclen,
     "engine_count": q_engine_count,
     "engine_bm25_scores": q_engine_bm25_scores,
+    "engine_bm25_and": q_engine_bm25_and,
     "engine_bm25_wand": q_engine_bm25_wand,       # rows-only
     "lifecycle_retention": q_lifecycle_retention,
     "lifecycle_alias_gate": q_lifecycle_alias_gate,

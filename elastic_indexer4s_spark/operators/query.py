@@ -115,22 +115,42 @@ def _score_arrays(tf: np.ndarray, dl: np.ndarray, idf: float,
 
 
 def _shard_exhaustive(encs: list[tuple[str, EncodedPostings]], idfs: dict[str, float],
-                      k1: float, b: float, avg_dl: float, k: int) -> pd.DataFrame:
+                      k1: float, b: float, avg_dl: float, k: int,
+                      require_all: int = 0) -> pd.DataFrame:
     """Decode every posting fully, accumulate doc→score, local top-k.
-    Terms processed in ascending order → oracle-identical fp accumulation."""
+    Terms processed in ascending order → oracle-identical fp accumulation.
+
+    ``require_all`` > 0 = conjunctive (ES ``match`` with ``operator=and``):
+    only docs matched by ALL ``require_all`` query terms survive.  A term
+    with no postings in this shard makes the whole shard a miss (every doc
+    lives in exactly one shard, so this is the global AND semantics too).
+    """
+    if require_all and len(encs) < require_all:
+        return _EMPTY_TOPK.copy()
     scores: dict[int, float] = {}
+    nmatch: dict[int, int] = {}
     for term, enc in sorted(encs, key=lambda x: x[0]):
         doc_ids, tfs, dls = decode_postings(enc)
         contrib = _score_arrays(tfs, dls, idfs[term], k1, b, avg_dl)
         for d, c in zip(doc_ids.tolist(), contrib.tolist()):
             scores[d] = scores.get(d, 0.0) + c
+            if require_all:
+                nmatch[d] = nmatch.get(d, 0) + 1
+    if require_all:
+        scores = {d: s for d, s in scores.items()
+                  if nmatch[d] >= require_all}
     top = heapq.nsmallest(k, scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return pd.DataFrame(top, columns=["doc_id", "score"]).astype(
         {"doc_id": "int64", "score": "float64"})
 
 
+_EMPTY_TOPK = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "score": pd.Series(dtype="float64")})
+
+
 def _shard_wand(encs: list[tuple[str, EncodedPostings]], idfs: dict[str, float],
-                k1: float, b: float, avg_dl: float, k: int) -> pd.DataFrame:
+                k1: float, b: float, avg_dl: float, k: int,
+                require_all: int = 0) -> pd.DataFrame:
     """Block-max WAND over the shard's query-term postings.
 
     Document-at-a-time in block granularity: advance through blocks in doc_id
@@ -140,6 +160,8 @@ def _shard_wand(encs: list[tuple[str, EncodedPostings]], idfs: dict[str, float],
     exhaustive scoring (ties broken by doc_id asc) because bounds are
     admissible: score(tf,dl) ≤ idf·(k1+1)·maxtf/(maxtf+k1·(1-b+b·min_dl/avgdl)).
     """
+    if require_all and len(encs) < require_all:
+        return _EMPTY_TOPK.copy()
     encs = sorted(encs, key=lambda x: x[0])
     bounds: list[np.ndarray] = []
     for term, enc in encs:
@@ -173,6 +195,10 @@ def _shard_wand(encs: list[tuple[str, EncodedPostings]], idfs: dict[str, float],
                     frontier = bl
         if frontier is None:
             break
+        if require_all and len(active) < require_all:
+            # a term is exhausted: no remaining doc can match ALL terms
+            # (blocks advance strictly in doc order)
+            break
         # admissible upper bound for any doc ≤ frontier: every open block
         # could contribute (blocks advance strictly in doc order, so every
         # block containing a doc ≤ frontier is still open right now)
@@ -188,6 +214,7 @@ def _shard_wand(encs: list[tuple[str, EncodedPostings]], idfs: dict[str, float],
         # terms are visited in ascending order → fp accumulation order matches
         # the exhaustive scorer and the pure-Python oracle exactly)
         pending: dict[int, float] = {}
+        pending_n: dict[int, int] = {}
         for i in active:
             term, enc = encs[i]
             if cache[i] is None:
@@ -200,10 +227,14 @@ def _shard_wand(encs: list[tuple[str, EncodedPostings]], idfs: dict[str, float],
                                         k1, b, avg_dl)
                 for d, c in zip(doc_ids[lo:hi].tolist(), contrib.tolist()):
                     pending[d] = pending.get(d, 0.0) + c
+                    if require_all:
+                        pending_n[d] = pending_n.get(d, 0) + 1
                 used[i] = hi
             if int(enc.block_last[cur[i]]) == frontier:
                 cur[i], used[i], cache[i] = cur[i] + 1, 0, None
         for d, s in pending.items():
+            if require_all and pending_n[d] < require_all:
+                continue
             push(d, s)
 
     rows = sorted(((s, -negd) for s, negd in heap), key=lambda x: (-x[0], x[1]))
@@ -213,9 +244,17 @@ def _shard_wand(encs: list[tuple[str, EncodedPostings]], idfs: dict[str, float],
 
 
 def topk(spark: SparkSession, generation_dir: str, query_terms: list[str],
-         k: int = 10, *, wand: bool = False,
+         k: int = 10, *, wand: bool = False, mode: str = "or",
          cfg: IndexConfig | None = None) -> DataFrame:
-    """Top-k BM25 query → DataFrame(doc_id long, score double), ordered."""
+    """Top-k BM25 query → DataFrame(doc_id long, score double), ordered.
+
+    ``mode="or"`` (default) = ES ``match`` disjunction; ``mode="and"`` = ES
+    ``match`` with ``operator=and`` — only docs containing EVERY analyzed
+    query term match (same BM25 score as the disjunctive score of those
+    docs).  Works with both the exhaustive and the WAND scorer.
+    """
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     cfg = cfg or load_config(generation_dir)
     stats = load_stats(generation_dir)
     n_docs, avg_dl = stats["num_docs"], stats["avg_dl"]
@@ -243,6 +282,7 @@ def topk(spark: SparkSession, generation_dir: str, query_terms: list[str],
         idfs = {t: _idf(n_docs, df) for t, df in dfs.items()}
     k1, b = cfg.k1, cfg.b
     scorer = _shard_wand if wand else _shard_exhaustive
+    require_all = len(terms) if mode == "and" else 0
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         if idfs is None:
@@ -251,7 +291,7 @@ def topk(spark: SparkSession, generation_dir: str, query_terms: list[str],
         else:
             local_idfs = idfs
         encs = [(r["term"], row_to_enc(r)) for _, r in pdf.iterrows()]
-        return scorer(encs, local_idfs, k1, b, float(avg_dl), k)
+        return scorer(encs, local_idfs, k1, b, float(avg_dl), k, require_all)
 
     local = postings.groupBy("shard").applyInPandas(
         score_shard, schema="doc_id long, score double")
@@ -265,7 +305,7 @@ def count_index(spark: SparkSession, generation_dir: str) -> int:
 
 def serve_topk(spark: SparkSession, generation_dir: str,
                query_terms: list[str], k: int = 10, *,
-               wand: bool = True) -> list:
+               wand: bool = True, mode: str = "or") -> list:
     """Latency-optimized point-query execution (returns collected rows).
 
     Tiny scatter-gather plans lose ~0.5s to AQE's staged re-optimization and
@@ -279,7 +319,8 @@ def serve_topk(spark: SparkSession, generation_dir: str,
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        return topk(spark, generation_dir, query_terms, k, wand=wand).collect()
+        return topk(spark, generation_dir, query_terms, k,
+                    wand=wand, mode=mode).collect()
     finally:
         for key, val in saved.items():
             conf.set(key, val)

@@ -46,10 +46,15 @@ def build_py_index(contents: dict[int, str],
 
 
 def bm25_scores(idx: PyIndex, terms: list[str],
-                k1: float = 1.2, b: float = 0.75) -> dict[int, float]:
-    """Union (OR) scores for all matching docs; term order = sorted unique."""
+                k1: float = 1.2, b: float = 0.75,
+                mode: str = "or") -> dict[int, float]:
+    """Scores for all matching docs; term order = sorted unique.
+    ``mode="or"`` = union (ES `match` default); ``mode="and"`` = conjunction
+    (ES `match` operator=and): only docs containing every query term."""
     scores: dict[int, float] = {}
-    for term in sorted(set(terms)):
+    nmatch: dict[int, int] = {}
+    uniq = sorted(set(terms))
+    for term in uniq:
         plist = idx.postings.get(term)
         if not plist:
             continue
@@ -60,12 +65,16 @@ def bm25_scores(idx: PyIndex, terms: list[str],
             norm = tf + k1 * (1.0 - b + b * dl / idx.avg_dl)
             contrib = idf * tf * (k1 + 1.0) / norm
             scores[doc_id] = scores.get(doc_id, 0.0) + contrib
+            nmatch[doc_id] = nmatch.get(doc_id, 0) + 1
+    if mode == "and":
+        scores = {d: s for d, s in scores.items() if nmatch[d] >= len(uniq)}
     return scores
 
 
 def bm25_topk(idx: PyIndex, terms: list[str], k: int,
-              k1: float = 1.2, b: float = 0.75) -> list[tuple[int, float]]:
+              k1: float = 1.2, b: float = 0.75,
+              mode: str = "or") -> list[tuple[int, float]]:
     """Top-k (doc_id, score), score desc then doc_id asc (stable tie-break)."""
-    scores = bm25_scores(idx, terms, k1, b)
+    scores = bm25_scores(idx, terms, k1, b, mode)
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]

@@ -83,6 +83,29 @@ def test_absent_term_empty(spark, tiny_index):
     assert Q.topk(spark, gen, ["zzabsenttermzz"], 10, cfg=cfg).count() == 0
 
 
+@pytest.mark.parametrize("wand", [False, True], ids=["exhaustive", "wand"])
+def test_and_mode_rank_identical(spark, tiny_index, py_oracle, wand):
+    """Conjunctive match (ES operator=and): oracle-identical ranks + scores,
+    AND results ⊆ OR results, absent term conjoined with anything → empty."""
+    gen, cfg = tiny_index
+    for q in reference_queries(200):
+        if len(q["terms"]) < 2:
+            continue
+        terms = Q.analyze_query(q["terms"], cfg.tokenizer)
+        expected = bm25_topk(py_oracle, terms, q["k"], cfg.k1, cfg.b, mode="and")
+        got = Q.topk(spark, gen, q["terms"], q["k"], wand=wand, mode="and",
+                     cfg=cfg).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in expected], q
+        for (_, es), r in zip(expected, got):
+            assert abs(es - r["score"]) <= 1e-6, f"query {q} score drift"
+        or_all = {r["doc_id"] for r in Q.topk(
+            spark, gen, q["terms"], 10**6, wand=False, cfg=cfg).collect()}
+        assert {r["doc_id"] for r in got} <= or_all
+    empty = Q.topk(spark, gen, ["merge", "zzabsenttermzz"], 10,
+                   wand=wand, mode="and", cfg=cfg)
+    assert empty.count() == 0
+
+
 def test_salted_build_matches_streaming(spark, tiny_corpus, tmp_path):
     """Salted two-phase postings ≡ streaming postings, byte-for-byte, on a
     corpus with hot stopword-like terms (the skew fixture)."""
