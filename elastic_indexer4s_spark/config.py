@@ -115,6 +115,11 @@ def tuned_builder(master: str, app: str, *, shuffle_partitions: int,
     """
     from pyspark.sql import SparkSession
 
+    # Pin the initial heap to the max: ParallelGC's adaptive resizing under a
+    # growing heap produced multi-hundred-second GC storms on shared-host VMs
+    # (scripts/diag_gc.py: pinned+pretouch GC = 0.2s vs 0.6-3.9s unpinned on
+    # the same sub-plan); a fixed-size heap removes that failure mode.
+    java_opts = f"{ENGINE_JAVA_OPTIONS} -Xms{driver_mem}"
     return (
         SparkSession.builder.master(master)
         .appName(app)
@@ -125,6 +130,6 @@ def tuned_builder(master: str, app: str, *, shuffle_partitions: int,
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", driver_mem)
-        .config("spark.driver.extraJavaOptions", ENGINE_JAVA_OPTIONS)
+        .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.executor.extraJavaOptions", ENGINE_JAVA_OPTIONS)
     )

@@ -16,12 +16,15 @@ Scale design (targets 10^12 files / 100 TB; tested at local scale):
   skew is handled structurally, with the salted grouped path
   (`build_postings_salted`) as the explicit per-term-bounded alternative
   required by the north rule.
-* **Two shuffles only**: (1) hash repartition by doc key for id assignment,
-  (2) ``groupBy(shard, term, doc_id)`` with map-side partial aggregation for
-  tf, then a co-located ``repartition(shard, term) + sortWithinPartitions``
-  feeding a STREAMING ``mapInPandas`` encoder (one Python call per Arrow
-  batch, NOT per term — per-group ``applyInPandas`` would pay per-term
-  overhead on millions of tiny vocabulary groups).
+* **ONE shuffle** (per consumer pass): the doc-id routing exchange
+  (operators/docids.py) places exactly one shard per partition AND makes
+  that fact visible to Catalyst via ``HashPartitioning(_route)``.  The tf
+  ``groupBy`` keeps ``_route`` in its keys so it runs exchange-free in the
+  same stage; posting encode needs only a partition-local sort, then a
+  STREAMING ``mapInPandas`` encoder (one Python call per Arrow batch, NOT
+  per term — per-group ``applyInPandas`` would pay per-term overhead on
+  millions of tiny vocabulary groups).  Postings plan = scan+tokenize →
+  exchange → agg+sort+encode+write.
 * Postings/doclen parquet are ``partitionBy(shard)`` so checkpoint-resume
   (SURVEY §2 B9) can rewrite individual shards with dynamic partition
   overwrite.
@@ -82,14 +85,22 @@ def tokenized_docs(df: DataFrame, cfg: IndexConfig, use_pandas_udf: bool = False
 
 
 def term_frequencies(docs_tok: DataFrame) -> DataFrame:
-    """(shard, term, doc_id, dl, tf) with map-side partial aggregation.
+    """(shard, term, doc_id, dl, tf) term-frequency aggregation.
 
     ``dl`` rides in the grouping key (functionally dependent on doc_id) so
     posting encoding needs no join back to the doc-length table.
+
+    When the input carries the ``_route`` partition-identity column (see
+    operators/docids.py) it is kept in the grouping key: the input's
+    ``HashPartitioning(_route)`` then satisfies the aggregation's required
+    distribution and the whole agg runs EXCHANGE-FREE in the scan stage —
+    the only shuffle in the postings build is the doc-id one.
     """
+    extra = ["_route"] if "_route" in docs_tok.columns else []
     return (
-        docs_tok.select("shard", "doc_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("shard", "term", "doc_id", "dl")
+        docs_tok.select(*extra, "shard", "doc_id", "dl",
+                        F.explode("tokens").alias("term"))
+        .groupBy(*extra, "shard", "term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
@@ -108,24 +119,33 @@ def _encode_group(shard: int, term: str, docs: list[np.ndarray],
 
 
 def build_postings_stream(tf_df: DataFrame, cfg: IndexConfig,
-                          num_partitions: int | None = None) -> DataFrame:
+                          num_partitions: int | None = None, *,
+                          assume_sharded: bool = False) -> DataFrame:
     """tf rows → encoded postings via a streaming per-partition encoder.
 
     Rows are co-located by (shard, term) and sorted by (shard, term, doc_id);
     the encoder walks Arrow batches, carrying the open (shard, term) group
     across batch boundaries, so memory is O(largest single posting list) =
     O(docs per shard) — bounded by construction.
+
+    ``assume_sharded=True`` (the build_index path): the input is already
+    partitioned one-shard-per-task by the doc-id routing exchange
+    (operators/docids.py), so only a partition-local sort is needed — no
+    shuffle at all.  ``False`` (arbitrary inputs): hash-repartition by shard
+    first.  Either way every task holds whole shards, so the
+    partitionBy(shard) writer emits ~1 file per shard instead of one file
+    per (task, shard) pair — tiny-file explosion at query time.  Parallelism
+    = num_shards, which at production scale is sized >> cores.
     """
-    # partition by shard ALONE (not shard+term): every task then holds whole
-    # shards, so the partitionBy(shard) writer emits ~1 file per shard instead
-    # of one file per (task, shard) pair — tiny-file explosion at query time.
-    # Parallelism = num_shards, which at production scale is sized >> cores.
-    P = num_partitions or cfg.num_shards
     block = cfg.block_size
-    arranged = (
-        tf_df.repartition(P, "shard")
-        .sortWithinPartitions("shard", "term", "doc_id")
-    )
+    if assume_sharded:
+        arranged = tf_df.sortWithinPartitions("shard", "term", "doc_id")
+    else:
+        P = num_partitions or cfg.num_shards
+        arranged = (
+            tf_df.repartition(P, "shard")
+            .sortWithinPartitions("shard", "term", "doc_id")
+        )
 
     def encode_stream(batches):
         cur: tuple | None = None
@@ -238,7 +258,8 @@ def shard_fingerprints(docs_tok: DataFrame) -> dict[int, int]:
     """Per-shard input fingerprint: bit_xor(xxhash64(sha256(content))) —
     order-independent, so it is computable from any partitioning and
     comparable against the lineage of a previous (partial) build."""
-    rows = (docs_tok.groupBy("shard")
+    extra = ["_route"] if "_route" in docs_tok.columns else []
+    rows = (docs_tok.groupBy(*extra, "shard")
             .agg(F.expr("bit_xor(xxhash64(sha256))").alias("fp")).collect())
     return {int(r["shard"]): int(r["fp"]) for r in rows}
 
@@ -312,16 +333,17 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         return StageSucceeded(f"{what} {generation_dir}")
 
     def stage_doclen() -> StageSucceeded:
-        # docs_tok is already exchanged by _pid (= shard) for the id-assign
-        # window, so every task holds whole shards: partitionBy(shard) emits
-        # ~1 file per shard with NO extra repartition.
+        # docs_tok is already exchanged one-shard-per-partition by the
+        # id-assign routing, so partitionBy(shard) emits ~1 file per shard
+        # with NO extra repartition.
         write_partitioned(docs_tok_build.select(*DOCLEN_COLS), "doclen")
         return StageSucceeded("Wrote doclen table")
 
     def stage_postings() -> StageSucceeded:
         tf_df = term_frequencies(docs_tok_build)
         postings = (build_postings_salted(tf_df, cfg) if salted
-                    else build_postings_stream(tf_df, cfg))
+                    else build_postings_stream(tf_df, cfg,
+                                               assume_sharded=True))
         if salted:  # grouped path shuffles by (shard, term): repack per shard
             postings = postings.repartition(cfg.num_shards, "shard")
         write_partitioned(postings, "postings")

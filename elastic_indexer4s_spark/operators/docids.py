@@ -1,4 +1,5 @@
-"""Deterministic, scalable dense doc-id assignment.
+"""Deterministic, scalable dense doc-id assignment with Catalyst-visible
+shard partitioning.
 
 The reference lets callers pick document ids via ``RequestBuilder``
 (`ElasticIndexer4s.scala:39-43`, README.md:114-116) and defaults to ES
@@ -7,7 +8,30 @@ compresses to ~1-2 bytes/doc), assigned DETERMINISTICALLY (resume/verify
 depend on stable ids), WITHOUT a global sort or
 ``monotonically_increasing_id`` (non-deterministic under retries).
 
-Two schemes:
+**Shard assignment** is content-addressed and engine-owned:
+``shard = pmod(xxhash64(key_cols), num_shards)`` — a pure column expression,
+stable across Spark versions, partitioner internals, and input layout
+(previously ``shard = spark_partition_id()``, which tied shard identity to
+the shuffle implementation).
+
+**The routing trick (single-shuffle builds).**  A plain
+``repartition(S, "shard")`` co-locates shards but Spark hashes the shard
+value, so (a) several shards can collide into one task while others sit
+empty (balls-in-bins skew ~3x at S = cores) and (b) that is the ONLY thing
+Catalyst learns.  Instead we add ``_route``: for each shard ``s`` a
+precomputed long with ``pmod(murmur3(route[s]), S) == s``, so
+``repartition(S, "_route")`` places **exactly shard s in partition s** —
+perfectly balanced — AND the exchange's ``HashPartitioning(_route)`` is
+visible to Catalyst.  Every downstream operator that keeps ``_route`` in its
+grouping/window keys (doc-id window, tf aggregation, posting sort+encode,
+partitionBy(shard) writes) then satisfies its required distribution with
+ZERO further exchanges: the whole postings build is one shuffle.
+
+Route values are found by inverting Spark's own hash with one tiny
+``spark.range`` job (cached per shard count; ~milliseconds).  At production
+shard counts (10^3-10^4) the literal routing array in the plan stays small.
+
+Two id schemes:
 
 * ``dense="shard"`` (default, the 10^12-file path) — ids are dense PER SHARD:
   ``doc_id = shard << SHARD_BITS | row_number``.  ONE hash shuffle, zero
@@ -15,52 +39,93 @@ Two schemes:
   are built per shard, so per-shard density gives the same varint sizes as
   global density; the inter-shard jump costs one ~5-byte leading varint per
   (shard, term) list.
-* ``dense="global"`` — ids are dense 0..N-1: per-partition counts are
-  collected (P tiny rows) and turned into offsets via a broadcast join.  One
-  extra pass over the source; use when downstream systems require contiguous
-  global ids.
+* ``dense="global"`` — ids are dense 0..N-1: per-shard counts are collected
+  (S tiny rows, no extra exchange thanks to the routing) and turned into
+  offsets via a broadcast join.  One extra pass over the source; use when
+  downstream systems require contiguous global ids.
 
-Both are pure functions of the data: partition = hash(key) % P, order = the
-unique key sorted within partition — reproducible across runs and retries.
+Both are pure functions of the data — reproducible across runs and retries.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SHARD_BITS = 33  # up to 8.5e9 docs per shard, 2^30 shards
 
+#: per-process cache: num_shards -> route longs (hash inversion is pure)
+_ROUTE_CACHE: dict[int, list[int]] = {}
+
+
+def shard_routes(spark: SparkSession, num_shards: int) -> list[int]:
+    """route[s] = smallest long x ≥ 0 with ``pmod(hash(x), S) == s``.
+
+    Uses Spark's own ``hash`` (Murmur3, seed 42 — the exact function
+    ``HashPartitioning`` applies) so the mapping is consistent by
+    construction.  Expected ~S·ln(S) candidates to cover all S partitions;
+    we search in growing windows until complete.
+    """
+    if num_shards in _ROUTE_CACHE:
+        return _ROUTE_CACHE[num_shards]
+    found: dict[int, int] = {}
+    lo, width = 0, max(64 * num_shards, 1024)
+    while len(found) < num_shards:
+        rows = (spark.range(lo, lo + width)
+                .select(F.col("id"),
+                        F.pmod(F.hash(F.col("id")), F.lit(num_shards))
+                        .alias("p"))
+                .groupBy("p").agg(F.min("id").alias("x")).collect())
+        for r in rows:
+            found.setdefault(int(r["p"]), int(r["x"]))
+        lo += width
+    routes = [found[s] for s in range(num_shards)]
+    _ROUTE_CACHE[num_shards] = routes
+    return routes
+
+
+def _route_expr(routes: list[int], shard_col: str):
+    arr = F.array(*[F.lit(int(x)).cast("long") for x in routes])
+    return F.element_at(arr, F.col(shard_col) + 1)
+
 
 def with_doc_ids(df: DataFrame, key_cols: list[str], num_partitions: int,
                  shard_col: str = "shard", dense: str = "shard") -> DataFrame:
-    """Add deterministic ``doc_id`` (long) + ``shard`` (int) columns."""
-    part = df.repartition(num_partitions, *key_cols)
-    part = part.withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy("_pid").orderBy(*key_cols)
+    """Add deterministic ``doc_id`` (long), ``shard`` (int) and ``_route``
+    (long, the partition-identity column — keep it in downstream grouping
+    keys to stay exchange-free; drop it before persisting)."""
+    routes = shard_routes(df.sparkSession, num_partitions)
+    keyed = (
+        df.withColumn(
+            shard_col,
+            F.pmod(F.xxhash64(*key_cols), F.lit(num_partitions)).cast("int"))
+        .withColumn("_route", _route_expr(routes, shard_col))
+    )
+    part = keyed.repartition(num_partitions, "_route")
+    w = Window.partitionBy("_route").orderBy(*key_cols)
 
     if dense == "shard":
         return (
             part.withColumn("_rn", F.row_number().over(w))
             .withColumn(
                 "doc_id",
-                F.expr(f"shiftleft(cast(_pid as bigint), {SHARD_BITS})")
+                F.expr(f"shiftleft(cast({shard_col} as bigint), {SHARD_BITS})")
                 + F.col("_rn").cast("long") - F.lit(1).cast("long"))
-            .withColumn(shard_col, F.col("_pid").cast("int"))
-            .drop("_pid", "_rn")
+            .drop("_rn")
         )
 
-    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    rows = sorted((r["_pid"], r["_cnt"]) for r in counts.collect())
+    counts = part.groupBy("_route", shard_col).agg(
+        F.count(F.lit(1)).alias("_cnt"))
+    rows = sorted((r[shard_col], r["_cnt"]) for r in counts.collect())
     offsets, acc = [], 0
-    for pid, cnt in rows:
-        offsets.append((pid, acc))
+    for sh, cnt in rows:
+        offsets.append((sh, acc))
         acc += cnt
-    off_df = part.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    off_df = part.sparkSession.createDataFrame(
+        offsets, f"{shard_col} int, _off long")
     return (
         part.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(off_df), "_pid")
+        .join(F.broadcast(off_df), shard_col)
         .withColumn("doc_id", (F.col("_off") + F.col("_rn") - F.lit(1)).cast("long"))
-        .withColumn(shard_col, F.col("_pid").cast("int"))
-        .drop("_pid", "_rn", "_off")
+        .drop("_rn", "_off")
     )

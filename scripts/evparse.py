@@ -8,7 +8,14 @@ def stage_metrics(evdir: str) -> dict[int, dict]:
     paths = [p for p in glob.glob(os.path.join(evdir, "**", "*"), recursive=True)
              if os.path.isfile(p) and "appstatus" not in os.path.basename(p)]
     for path in paths:
-        op = gzip.open if path.endswith(".gz") else open
+        if path.endswith(".zstd"):
+            import io
+            import subprocess
+            raw = subprocess.run(["zstd", "-dc", path],
+                                 capture_output=True).stdout
+            op = lambda p, m: io.StringIO(raw.decode())  # noqa: E731
+        else:
+            op = gzip.open if path.endswith(".gz") else open
         with op(path, "rt") as f:
             for line in f:
                 ev = json.loads(line)

@@ -154,8 +154,15 @@ def main() -> None:
             f"**{p['efficiency']}** | {p['hw_ceiling']} | "
             f"{p['efficiency_vs_ceiling']} |")
     lines.append("")
-    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
-        f.write("\n".join(lines))
+    bench_md = os.path.join(REPO, "BENCH.md")
+    with open(bench_md) as f:
+        prev = f.read()
+    # replace any previous scaling section (everything from its header on)
+    cut = prev.find("\n## Scaling run")
+    if cut != -1:
+        prev = prev[:cut]
+    with open(bench_md, "w") as f:
+        f.write(prev + "\n".join(lines))
 
 
 if __name__ == "__main__":
