@@ -107,19 +107,56 @@ ENGINE_JAVA_OPTIONS = "-XX:+UseParallelGC"
 
 
 def tuned_builder(master: str, app: str, *, shuffle_partitions: int,
-                  driver_mem: str = "24g", aqe: bool = True):
+                  driver_mem: str = "24g", aqe: bool = True,
+                  cores: int | None = None):
     """SparkSession builder with the engine's recommended local-mode conf.
 
     Centralizes what bench/scaling/tests all need: parallel GC (see
-    ``ENGINE_JAVA_OPTIONS``), Arrow enabled, UTC, quiet UI.
+    ``ENGINE_JAVA_OPTIONS``), OFF-HEAP execution memory, Arrow enabled, UTC,
+    quiet UI.
+
+    Off-heap execution memory is the load-bearing setting: Tungsten's
+    aggregation-map / sort pages are large, long-lived-then-freed arrays
+    that, kept on-heap, churn the old generation — the postings-build reduce
+    stage spent 480-540s in ParallelGC pauses (67s CPU!) on a 300k-doc
+    build; with execution pages off-heap the same stage runs with ZERO GC
+    time and the whole build went 192s -> 66s at 8 cores (scripts/
+    diag_evlog.py A/B).  G1 tolerated the on-heap churn but made the
+    codegen tokenizer scan ~10x slower in pure CPU, so ParallelGC +
+    off-heap is the only combination fast at both ends.  ``cores`` sizes
+    the off-heap pool (1 GiB/core, min 4 GiB) — per-core memory constant,
+    exactly how a real cluster scales executors.
     """
     from pyspark.sql import SparkSession
+
+    # Memory-allocator hygiene for EVERY process in the tree (JVM + pyspark
+    # workers): on this class of VM (lazily-backed guest memory) the first
+    # touch of a fresh anon page costs ~2-6µs of host-serialized kernel time
+    # — ~100x a retouch — so glibc's default behavior of mmap()ing every
+    # large block and munmap()ing it on free makes each numpy/Arrow
+    # temporary re-pay first-touch forever; at 32 workers the host fault
+    # path serializes and the build went 3x SLOWER than at 8.  Keeping
+    # blocks in the arena (never direct-mmap, never trim) made a 50x64MB
+    # numpy alloc+touch loop 18x faster (3.1s -> 0.17s, sys-time-dominated
+    # -> none).  Real clusters with normal memory backing are insensitive
+    # to these flags; they are pure downside-protection.  Must be in the
+    # environment BEFORE the JVM forks, hence set here (inherited by the
+    # gateway JVM and its python workers); spark.executorEnv covers real
+    # executors.
+    malloc_env = {"MALLOC_MMAP_MAX_": "0", "MALLOC_TRIM_THRESHOLD_": "-1"}
+    for k, v in malloc_env.items():
+        os.environ.setdefault(k, v)
 
     # Pin the initial heap to the max: ParallelGC's adaptive resizing under a
     # growing heap produced multi-hundred-second GC storms on shared-host VMs
     # (scripts/diag_gc.py: pinned+pretouch GC = 0.2s vs 0.6-3.9s unpinned on
     # the same sub-plan); a fixed-size heap removes that failure mode.
-    java_opts = f"{ENGINE_JAVA_OPTIONS} -Xms{driver_mem}"
+    # EI4S_GC_OPTS overrides the GC flags for A/B experiments.
+    gc_opts = os.environ.get("EI4S_GC_OPTS", ENGINE_JAVA_OPTIONS)
+    java_opts = f"{gc_opts} -Xms{driver_mem}"
+    if cores is None and master.startswith("local[") and master[6:-1].isdigit():
+        cores = int(master[6:-1])
+    offheap_gb = max(4, cores) if cores else 8
     return (
         SparkSession.builder.master(master)
         .appName(app)
@@ -127,9 +164,13 @@ def tuned_builder(master: str, app: str, *, shuffle_partitions: int,
         .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", f"{offheap_gb}g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", driver_mem)
         .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.executor.extraJavaOptions", ENGINE_JAVA_OPTIONS)
+        .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
     )

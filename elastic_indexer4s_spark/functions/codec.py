@@ -62,6 +62,32 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Like :func:`varint_encode` but also returns the per-value byte START
+    offsets (length n+1, ``starts[-1] == len(blob)``) so callers can slice
+    the stream at arbitrary value boundaries without re-encoding."""
+    a = np.ascontiguousarray(values, dtype=_U64)
+    if a.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    lens = np.ones(a.size, dtype=np.int64)
+    x = a >> _SEVEN
+    while x.any():
+        lens += (x > 0).astype(np.int64)
+        x >>= _SEVEN
+    starts = np.zeros(a.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    out = np.zeros(int(starts[-1]), dtype=np.uint8)
+    vals = a.copy()
+    for k in range(int(lens.max())):
+        mask = lens > k
+        idx = starts[:-1][mask] + k
+        byte = (vals[mask] & _MASK7).astype(np.uint8)
+        cont = (lens[mask] > k + 1).astype(np.uint8)
+        out[idx] = byte | (cont << 7)
+        vals[mask] >>= _SEVEN
+    return out.tobytes(), starts
+
+
 def varint_decode(buf: bytes) -> np.ndarray:
     """Decode an LEB128 stream to uint64, fully vectorized."""
     b = np.frombuffer(buf, dtype=np.uint8)
@@ -198,6 +224,126 @@ def concat_postings(parts: list[EncodedPostings]) -> EncodedPostings:
         block_tf_off=shifted([p.block_tf_off for p in parts], [p.tf_blob for p in parts]),
         block_dl_off=shifted([p.block_dl_off for p in parts], [p.dl_blob for p in parts]),
     )
+
+
+# --- whole-partition vectorized encoder -------------------------------------
+
+def encode_partition_postings(shard: np.ndarray, term_code: np.ndarray,
+                              doc_id: np.ndarray, tf: np.ndarray,
+                              dl: np.ndarray, term_values,
+                              block_size: int = 128):
+    """Encode EVERY posting list of a partition in one vectorized pass.
+
+    Inputs are per-POSTING arrays sorted by ``(shard, term_code, doc_id)``
+    (strictly ascending doc_id within a (shard, term) group) plus
+    ``term_values``, a pyarrow StringArray mapping code -> term string.
+    Returns a ``pyarrow.RecordBatch`` with the POSTINGS_DDL schema, built
+    directly from buffers — zero per-term (and per-block) Python.
+
+    This replaces calling :func:`encode_postings` once per term: the varint
+    streams for ALL terms are produced by three whole-array passes and
+    sliced at term boundaries, and the per-block sidecar arrays become
+    pyarrow ListArrays assembled from offsets.  Measured ~20x less Python
+    overhead than the per-group path on vocabulary-sized groups.
+    """
+    import pyarrow as pa
+
+    n = doc_id.size
+    if n == 0:
+        return pa.RecordBatch.from_pylist([], schema=postings_arrow_schema())
+    doc_id = np.ascontiguousarray(doc_id, dtype=np.int64)
+    tf = np.ascontiguousarray(tf, dtype=np.int64)
+    dl = np.ascontiguousarray(dl, dtype=np.int64)
+
+    # term (= output row) boundaries
+    new_term = np.empty(n, dtype=bool)
+    new_term[0] = True
+    new_term[1:] = (term_code[1:] != term_code[:-1]) | (shard[1:] != shard[:-1])
+    t_start = np.nonzero(new_term)[0]                       # per term
+    t_len = np.diff(np.append(t_start, n))
+    n_terms = t_start.size
+
+    # block boundaries (blocks never cross terms: every term start is a lead)
+    pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(t_start, t_len)
+    block_lead = (pos_in_term % block_size) == 0
+    b_idx = np.nonzero(block_lead)[0]                       # per block
+    b_end = np.append(b_idx[1:], n)
+
+    # deltas: gaps within a block, absolute doc_id at each block lead
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = doc_id[0]
+    np.subtract(doc_id[1:], doc_id[:-1], out=deltas[1:])
+    deltas[b_idx] = doc_id[b_idx]
+
+    doc_blob, doc_starts = varint_encode_offsets(deltas)
+    tf_blob, tf_starts = varint_encode_offsets(tf)
+    dl_blob, dl_starts = varint_encode_offsets(dl)
+
+    # per-term blob slices as BinaryArrays over ONE shared buffer
+    t_bound = np.append(t_start, n)                          # len n_terms+1
+
+    def bin_array(blob: bytes, starts: np.ndarray) -> pa.Array:
+        offs = starts[t_bound]
+        if offs[-1] <= np.iinfo(np.int32).max:
+            return pa.BinaryArray.from_buffers(
+                pa.binary(), n_terms,
+                [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+                 pa.py_buffer(blob)])
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n_terms,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)])
+
+    # per-block sidecars
+    blk_last = doc_id[b_end - 1]
+    blk_maxtf = np.maximum.reduceat(tf, b_idx)
+    blk_mindl = np.minimum.reduceat(dl, b_idx)
+    blk_count = (b_end - b_idx).astype(np.int32)
+    term_of_blk_start = np.repeat(np.arange(n_terms), t_len)[b_idx]
+    blk_doc_off = doc_starts[b_idx] - doc_starts[t_start][term_of_blk_start]
+    blk_tf_off = tf_starts[b_idx] - tf_starts[t_start][term_of_blk_start]
+    blk_dl_off = dl_starts[b_idx] - dl_starts[t_start][term_of_blk_start]
+
+    # term -> [blocks] list offsets: first block index of each term
+    first_blk = np.searchsorted(b_idx, t_start)
+    list_offs = pa.array(np.append(first_blk, b_idx.size).astype(np.int32))
+
+    def list_array(vals: np.ndarray, typ) -> pa.Array:
+        return pa.ListArray.from_arrays(list_offs, pa.array(vals, type=typ))
+
+    terms = pa.compute.take(term_values, pa.array(term_code[t_start]))
+    if pa.types.is_large_string(terms.type):
+        terms = terms.cast(pa.string())
+    return pa.RecordBatch.from_arrays(
+        [pa.array(shard[t_start].astype(np.int32), type=pa.int32()),
+         terms,
+         pa.array(t_len.astype(np.int64), type=pa.int64()),
+         bin_array(doc_blob, doc_starts),
+         bin_array(tf_blob, tf_starts),
+         bin_array(dl_blob, dl_starts),
+         list_array(blk_last, pa.int64()),
+         list_array(blk_maxtf.astype(np.int64), pa.int64()),
+         list_array(blk_mindl.astype(np.int64), pa.int64()),
+         list_array(blk_count, pa.int32()),
+         list_array(blk_doc_off, pa.int64()),
+         list_array(blk_tf_off, pa.int64()),
+         list_array(blk_dl_off, pa.int64())],
+        schema=postings_arrow_schema())
+
+
+def postings_arrow_schema():
+    import pyarrow as pa
+    return pa.schema([
+        ("shard", pa.int32()), ("term", pa.string()), ("df", pa.int64()),
+        ("doc_blob", pa.binary()), ("tf_blob", pa.binary()),
+        ("dl_blob", pa.binary()),
+        ("block_last", pa.list_(pa.int64())),
+        ("block_maxtf", pa.list_(pa.int64())),
+        ("block_min_dl", pa.list_(pa.int64())),
+        ("block_count", pa.list_(pa.int32())),
+        ("block_doc_off", pa.list_(pa.int64())),
+        ("block_tf_off", pa.list_(pa.int64())),
+        ("block_dl_off", pa.list_(pa.int64())),
+    ])
 
 
 # --- Spark-row (de)serialization helpers -----------------------------------

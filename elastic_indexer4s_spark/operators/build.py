@@ -184,6 +184,101 @@ def build_postings_stream(tf_df: DataFrame, cfg: IndexConfig,
 
 
 # ---------------------------------------------------------------------------
+# posting construction — Arrow-native (default scale path)
+# ---------------------------------------------------------------------------
+
+def build_postings_arrow(docs_tok: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """(shard, doc_id, dl, tokens) → encoded postings, entirely in one
+    ``mapInArrow`` pass — the default build path.
+
+    Why not explode + groupBy + sort in the JVM (the ``term_frequencies`` +
+    ``build_postings_stream`` path, kept for the salted variant and as an
+    oracle): at 96M exploded tokens the Tungsten hash-agg + sort burned
+    5.5x more CPU per row at 32 threads than at 8 (cache/memory-bandwidth
+    thrash on the random-access agg map — measured via event logs,
+    scripts/diag_evlog.py), capping scaling at ~0.3.  Token → posting
+    reduction is a per-shard-local problem, so the engine does it where it
+    is cache-friendly and allocation-free: pyarrow dictionary-encode maps
+    terms to int codes (C++), one ``np.lexsort`` orders (term, doc), a
+    run-length reduce yields tf, and ``encode_partition_postings`` emits
+    every posting list of the shard via three whole-array varint passes —
+    zero per-term Python, zero JVM-side wide operators.  The JVM side of
+    the stage is just shuffle-read + window + project.
+
+    Memory per task is O(postings of the shard) (~28 B/posting + token
+    strings of one Arrow batch); at production scale ``num_shards`` is
+    sized so a shard's postings fit an executor core (SURVEY §4), exactly
+    like Lucene's per-segment indexing buffer.  Inputs may interleave
+    shards (no one-shard-per-partition assumption): the final sort keys on
+    (shard, term, doc_id).
+    """
+    import pyarrow as pa
+
+    cols = docs_tok.select("shard", "doc_id", "dl", "tokens")
+    block = cfg.block_size
+
+    def encode(batches):
+        from ..functions.codec import encode_partition_postings
+        segs: list[pa.RecordBatch] = []  # per-batch posting runs (dict terms)
+
+        for rb in batches:
+            nd = rb.num_rows
+            if nd == 0:
+                continue
+            toks = rb.column("tokens")
+            flat = toks.flatten()
+            vl = toks.value_lengths()
+            if vl.null_count:  # null token-list ≡ empty (flatten skips it)
+                import pyarrow.compute as pc
+                vl = pc.fill_null(vl, 0)
+            lens = np.asarray(vl, dtype=np.int64)
+            if flat.null_count:
+                flat = flat.fill_null("")
+            denc = flat.dictionary_encode()
+            codes = np.asarray(denc.indices, dtype=np.int64)
+            docrep = np.repeat(np.asarray(rb.column("doc_id"), dtype=np.int64), lens)
+            dlrep = np.repeat(np.asarray(rb.column("dl"), dtype=np.int64), lens)
+            shardrep = np.repeat(np.asarray(rb.column("shard"), dtype=np.int64), lens)
+            order = np.lexsort((docrep, codes, shardrep))
+            c, d = codes[order], docrep[order]
+            n = c.size
+            if n == 0:
+                continue
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = ((c[1:] != c[:-1]) | (d[1:] != d[:-1]))
+            starts = np.nonzero(new)[0]
+            tf = np.diff(np.append(starts, n))
+            segs.append(pa.RecordBatch.from_arrays(
+                [pa.DictionaryArray.from_arrays(
+                    pa.array(c[starts], type=pa.int32()), denc.dictionary),
+                 pa.array(d[starts], type=pa.int64()),
+                 pa.array(tf, type=pa.int64()),
+                 pa.array(dlrep[order][starts], type=pa.int64()),
+                 pa.array(shardrep[order][starts], type=pa.int64())],
+                names=["term", "doc_id", "tf", "dl", "shard"]))
+
+        if not segs:
+            return
+        # unify the per-batch dictionaries, then one global (shard, term,
+        # doc) sort over POSTING rows (≈2-3x fewer than tokens, and no
+        # strings — the dictionary indirection keeps this pure-int).
+        tbl = pa.Table.from_batches(segs).unify_dictionaries().combine_chunks()
+        term_col = tbl.column("term").chunk(0)
+        codes = np.asarray(term_col.indices, dtype=np.int64)
+        doc = np.asarray(tbl.column("doc_id").chunk(0), dtype=np.int64)
+        tf = np.asarray(tbl.column("tf").chunk(0), dtype=np.int64)
+        dl = np.asarray(tbl.column("dl").chunk(0), dtype=np.int64)
+        shard = np.asarray(tbl.column("shard").chunk(0), dtype=np.int64)
+        order = np.lexsort((doc, codes, shard))
+        yield encode_partition_postings(
+            shard[order], codes[order], doc[order], tf[order], dl[order],
+            term_col.dictionary, block)
+
+    return cols.mapInArrow(encode, schema=POSTINGS_DDL)
+
+
+# ---------------------------------------------------------------------------
 # posting construction — salted grouped path (explicit skew handling, B4)
 # ---------------------------------------------------------------------------
 
@@ -340,12 +435,12 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         return StageSucceeded("Wrote doclen table")
 
     def stage_postings() -> StageSucceeded:
-        tf_df = term_frequencies(docs_tok_build)
-        postings = (build_postings_salted(tf_df, cfg) if salted
-                    else build_postings_stream(tf_df, cfg,
-                                               assume_sharded=True))
-        if salted:  # grouped path shuffles by (shard, term): repack per shard
+        if salted:
+            postings = build_postings_salted(term_frequencies(docs_tok_build), cfg)
+            # grouped path shuffles by (shard, term): repack per shard
             postings = postings.repartition(cfg.num_shards, "shard")
+        else:
+            postings = build_postings_arrow(docs_tok_build, cfg)
         write_partitioned(postings, "postings")
         return StageSucceeded("Wrote postings")
 

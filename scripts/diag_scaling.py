@@ -120,7 +120,12 @@ def main() -> None:
     for cpus in cpu_list:
         with open(script, "w") as f:
             f.write(RUN_SRC.format(repo=REPO, corpus=corpus, n_docs=n_docs))
-        out = subprocess.run([sys.executable, script, str(cpus)],
+        # taskset pins the WHOLE JVM (task threads, GC, JIT, python workers)
+        # to exactly `cpus` cores — without it a local[2] JVM still gets ~23
+        # parallel-GC threads and full compiler parallelism from the 32-core
+        # host, inflating low-N throughput and corrupting the N-vs-4N ratio.
+        out = subprocess.run(["taskset", "-c", f"0-{cpus - 1}",
+                              sys.executable, script, str(cpus)],
                              capture_output=True, text=True, timeout=1800)
         got = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
         if not got:

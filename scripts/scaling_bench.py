@@ -83,12 +83,19 @@ def _spin(_):
 
 def cpu_ceiling(n_lo: int, n_hi: int) -> float:
     """Best-of-2 pure-CPU aggregate throughput ratio (n_lo vs n_hi spin
-    workers) — the host's attainable scaling, independent of Spark."""
+    workers) — the host's attainable scaling, independent of Spark.  Each
+    measurement is pinned to exactly that many cores, matching how the
+    engine runs are pinned."""
     work = _spin
     best = {}
+    all_cpus = os.sched_getaffinity(0)
     for workers in (n_lo, n_hi, n_lo, n_hi):
-        with mp.Pool(workers) as p:
-            total = sum(p.map(work, range(workers)))
+        os.sched_setaffinity(0, set(range(workers)))
+        try:
+            with mp.Pool(workers) as p:
+                total = sum(p.map(work, range(workers)))
+        finally:
+            os.sched_setaffinity(0, all_cpus)
         best[workers] = max(best.get(workers, 0), total)
     return best[n_hi] / best[n_lo] / (n_hi / n_lo)
 
@@ -99,7 +106,12 @@ def run_once(cpus: int, rep: int) -> dict:
     script = os.path.join(tempfile.gettempdir(), "ei4s_scale_run.py")
     with open(script, "w") as f:
         f.write(src)
-    out = subprocess.run([sys.executable, script, str(cpus), str(rep)],
+    # Pin the whole process tree (JVM task/GC/JIT threads + python workers)
+    # to exactly `cpus` cores: a local[N] JVM otherwise still sizes its GC
+    # and compiler thread pools to the 32-core host, giving low-N runs free
+    # parallelism a real N-core executor would not have.
+    out = subprocess.run(["taskset", "-c", f"0-{cpus - 1}",
+                          sys.executable, script, str(cpus), str(rep)],
                          capture_output=True, text=True, timeout=1800)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):

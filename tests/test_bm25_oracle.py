@@ -149,6 +149,35 @@ def test_salted_build_matches_streaming(spark, tiny_corpus, tmp_path):
     assert len(b[some_hot]["block_count"]) >= len(a[some_hot]["block_count"])
 
 
+def test_arrow_build_matches_streaming(spark, tiny_corpus):
+    """The Arrow-native whole-partition encoder (default build path) ≡ the
+    explode+groupBy+sort streaming path, byte-for-byte, including the
+    block-max sidecar arrays (odd block size exercises block boundaries)."""
+    from elastic_indexer4s_spark.config import IndexConfig
+    from elastic_indexer4s_spark.operators.build import (
+        build_postings_arrow, build_postings_stream, term_frequencies,
+        tokenized_docs,
+    )
+    rows = [(d.repo, d.path, d.commit, d.lang, d.content) for d in tiny_corpus]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    cfg = IndexConfig(num_shards=4, block_size=7)
+    docs_tok = tokenized_docs(df, cfg)
+    a = {(r["shard"], r["term"]): r.asDict()
+         for r in build_postings_stream(term_frequencies(docs_tok), cfg).collect()}
+    b = {(r["shard"], r["term"]): r.asDict()
+         for r in build_postings_arrow(docs_tok, cfg).collect()}
+    assert set(a) == set(b) and len(a) > 0
+    for key, ra in a.items():
+        rb = b[key]
+        for col in ra:
+            va, vb = ra[col], rb[col]
+            if isinstance(va, (bytes, bytearray)):
+                assert bytes(va) == bytes(vb), (key, col)
+            else:
+                assert va == vb, (key, col)
+
+
 def test_verify_sha(spark, tiny_index, tiny_corpus):
     from elastic_indexer4s_spark.operators.build import verify_content_sha
     gen, _ = tiny_index
