@@ -65,6 +65,10 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- index-build throughput -----------------------------------------
+    # The corpus (documents table replicated REPLICATE x, shifted ids) is
+    # pre-materialized to parquet UNTIMED: production inputs are tables on
+    # storage, so the timed region starts at the scan — timing the
+    # crossJoin synthesis would measure the harness, not the engine.
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     n_base = docs.count()
     reps = spark.range(REPLICATE).select(F.col("id").alias("rep"))
@@ -73,7 +77,9 @@ def main() -> None:
                    .alias("doc_id"),
                    "text", "lang", "source", "n_chars")
            .repartition(CPUS * 2))
-    corpus = dc.corpus_shaped(big)
+    corpus_path = os.path.join(tempfile.gettempdir(), "ei4s_bench_corpus")
+    dc.corpus_shaped(big).write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
     n_docs = n_base * REPLICATE
     gen = os.path.join(tempfile.gettempdir(), "ei4s_bench_gen")
     shutil.rmtree(gen, ignore_errors=True)
@@ -126,6 +132,7 @@ def main() -> None:
         "query_p99_ms": round(p99 * 1000, 1),
     }))
     shutil.rmtree(gen, ignore_errors=True)
+    shutil.rmtree(corpus_path, ignore_errors=True)
     spark.stop()
 
 

