@@ -154,10 +154,13 @@ def tuned_builder(master: str, app: str, *, shuffle_partitions: int,
     # EI4S_GC_OPTS overrides the GC flags for A/B experiments.
     gc_opts = os.environ.get("EI4S_GC_OPTS", ENGINE_JAVA_OPTIONS)
     java_opts = f"{gc_opts} -Xms{driver_mem}"
+    # EI4S_EXTRA_CONF="k=v;k2=v2" — ad-hoc Spark conf for A/B experiments.
+    extra = [kv.split("=", 1)
+             for kv in os.environ.get("EI4S_EXTRA_CONF", "").split(";") if kv]
     if cores is None and master.startswith("local[") and master[6:-1].isdigit():
         cores = int(master[6:-1])
     offheap_gb = max(4, cores) if cores else 8
-    return (
+    b = (
         SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -174,3 +177,6 @@ def tuned_builder(master: str, app: str, *, shuffle_partitions: int,
         .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
     )
+    for k, v in extra:
+        b = b.config(k, v)
+    return b

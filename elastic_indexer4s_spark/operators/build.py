@@ -184,6 +184,91 @@ def build_postings_stream(tf_df: DataFrame, cfg: IndexConfig,
 
 
 # ---------------------------------------------------------------------------
+# map-side tf combine (shuffle-byte reduction)
+# ---------------------------------------------------------------------------
+
+TF_DDL = ("repo string, path string, commit string, dl bigint, "
+          "terms array<string>, tfs array<int>")
+
+
+def tokenized_docs_tf(df: DataFrame, cfg: IndexConfig,
+                      use_pandas_udf: bool = False) -> DataFrame:
+    """Postings-pass input with a MAP-SIDE TF COMBINE: source rows →
+    + doc_id, shard, dl, terms (per-doc distinct), tfs (per-doc counts).
+
+    The doc-id exchange is the postings build's only shuffle; shipping raw
+    token arrays through it moves every occurrence of every term across the
+    network.  Aggregating ``token → (term, tf)`` per document BEFORE the
+    exchange (the classic combiner: Lucene does the same per-doc reduction
+    in its indexing chain) shrinks the shuffled string payload by the
+    corpus' average term frequency (~3x on typical source code) at no loss:
+    tf is additive only within a doc, so the per-doc reduction is exact.
+    On a real cluster the exchange is network — the scarcest resource at
+    100 TB — so the combine is the default postings path
+    (``build_index(mapside_tf=...)`` switches back for A/B).
+
+    The reduction runs in the scan stage as a vectorized ``mapInArrow``
+    (dictionary-encode + one lexsort per batch, zero per-row Python);
+    ``with_doc_ids`` then assigns ids by the same (repo, path, commit)
+    window as :func:`tokenized_docs`, so doc ids are identical across the
+    doclen and postings passes.
+    """
+    import pyarrow as pa
+
+    if cfg.on_error == "skip":
+        df = df.filter(F.col("content").isNotNull())
+    tok = tokenize_udf(cfg.tokenizer)("content") if use_pandas_udf \
+        else tokens_expr(F.col("content"), cfg.tokenizer)
+    with_tokens = df.select(*DOC_KEY, tok.alias("tokens"))
+
+    def combine(batches):
+        import pyarrow.compute as pc
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            toks = rb.column("tokens")
+            flat = toks.flatten()
+            vl = toks.value_lengths()
+            if vl.null_count:
+                vl = pc.fill_null(vl, 0)
+            lens = np.asarray(vl, dtype=np.int64)
+            if flat.null_count:
+                flat = flat.fill_null("")
+            denc = flat.dictionary_encode()
+            codes = np.asarray(denc.indices, dtype=np.int64)
+            rowrep = np.repeat(np.arange(n, dtype=np.int64), lens)
+            order = np.lexsort((codes, rowrep))
+            c, r = codes[order], rowrep[order]
+            m = c.size
+            if m:
+                new = np.empty(m, dtype=bool)
+                new[0] = True
+                new[1:] = (c[1:] != c[:-1]) | (r[1:] != r[:-1])
+                starts = np.nonzero(new)[0]
+                tf = np.diff(np.append(starts, m)).astype(np.int32)
+                per_row = np.bincount(r[starts], minlength=n)
+                values = denc.dictionary.take(
+                    pa.array(c[starts], type=pa.int64()))
+            else:
+                per_row = np.zeros(n, dtype=np.int64)
+                tf = np.empty(0, dtype=np.int32)
+                values = pa.array([], type=pa.string())
+            offsets = pa.array(
+                np.concatenate(([0], np.cumsum(per_row))), type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [rb.column("repo"), rb.column("path"), rb.column("commit"),
+                 pa.array(lens, type=pa.int64()),
+                 pa.ListArray.from_arrays(offsets, values),
+                 pa.ListArray.from_arrays(offsets,
+                                          pa.array(tf, type=pa.int32()))],
+                names=["repo", "path", "commit", "dl", "terms", "tfs"])
+
+    deduped = with_tokens.mapInArrow(combine, schema=TF_DDL)
+    return with_doc_ids(deduped, DOC_KEY, cfg.num_shards)
+
+
+# ---------------------------------------------------------------------------
 # posting construction — Arrow-native (default scale path)
 # ---------------------------------------------------------------------------
 
@@ -258,22 +343,81 @@ def build_postings_arrow(docs_tok: DataFrame, cfg: IndexConfig) -> DataFrame:
                  pa.array(shardrep[order][starts], type=pa.int64())],
                 names=["term", "doc_id", "tf", "dl", "shard"]))
 
-        if not segs:
-            return
-        # unify the per-batch dictionaries, then one global (shard, term,
-        # doc) sort over POSTING rows (≈2-3x fewer than tokens, and no
-        # strings — the dictionary indirection keeps this pure-int).
-        tbl = pa.Table.from_batches(segs).unify_dictionaries().combine_chunks()
-        term_col = tbl.column("term").chunk(0)
-        codes = np.asarray(term_col.indices, dtype=np.int64)
-        doc = np.asarray(tbl.column("doc_id").chunk(0), dtype=np.int64)
-        tf = np.asarray(tbl.column("tf").chunk(0), dtype=np.int64)
-        dl = np.asarray(tbl.column("dl").chunk(0), dtype=np.int64)
-        shard = np.asarray(tbl.column("shard").chunk(0), dtype=np.int64)
-        order = np.lexsort((doc, codes, shard))
-        yield encode_partition_postings(
-            shard[order], codes[order], doc[order], tf[order], dl[order],
-            term_col.dictionary, block)
+        yield from _merge_segments_encode(segs, block)
+
+    return cols.mapInArrow(encode, schema=POSTINGS_DDL)
+
+
+def _merge_segments_encode(segs: list, block: int):
+    """Unify per-batch posting-run segments (dictionary-encoded terms),
+    one global (shard, term, doc) sort over POSTING rows (≈2-3x fewer than
+    tokens, and no strings — the dictionary indirection keeps this
+    pure-int), then whole-partition encode."""
+    import pyarrow as pa
+
+    from ..functions.codec import encode_partition_postings
+
+    if not segs:
+        return
+    tbl = pa.Table.from_batches(segs).unify_dictionaries().combine_chunks()
+    term_col = tbl.column("term").chunk(0)
+    codes = np.asarray(term_col.indices, dtype=np.int64)
+    doc = np.asarray(tbl.column("doc_id").chunk(0), dtype=np.int64)
+    tf = np.asarray(tbl.column("tf").chunk(0), dtype=np.int64)
+    dl = np.asarray(tbl.column("dl").chunk(0), dtype=np.int64)
+    shard = np.asarray(tbl.column("shard").chunk(0), dtype=np.int64)
+    order = np.lexsort((doc, codes, shard))
+    yield encode_partition_postings(
+        shard[order], codes[order], doc[order], tf[order], dl[order],
+        term_col.dictionary, block)
+
+
+def build_postings_arrow_tf(docs_tf: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """(shard, doc_id, dl, terms, tfs) → encoded postings; the reduce side
+    of the map-side-combined path (:func:`tokenized_docs_tf`).  Identical
+    output to :func:`build_postings_arrow` (tested byte-for-byte); the tf
+    run-length counting is gone because tfs arrive pre-counted per doc."""
+    import pyarrow as pa
+
+    cols = docs_tf.select("shard", "doc_id", "dl", "terms", "tfs")
+    block = cfg.block_size
+
+    def encode(batches):
+        import pyarrow.compute as pc
+        segs: list[pa.RecordBatch] = []
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            terms = rb.column("terms")
+            flat = terms.flatten()
+            vl = terms.value_lengths()
+            if vl.null_count:
+                vl = pc.fill_null(vl, 0)
+            lens = np.asarray(vl, dtype=np.int64)
+            if flat.null_count:
+                flat = flat.fill_null("")
+            denc = flat.dictionary_encode()
+            codes = np.asarray(denc.indices, dtype=np.int64)
+            tfflat = np.asarray(rb.column("tfs").flatten(), dtype=np.int64)
+            docrep = np.repeat(
+                np.asarray(rb.column("doc_id"), dtype=np.int64), lens)
+            dlrep = np.repeat(
+                np.asarray(rb.column("dl"), dtype=np.int64), lens)
+            shardrep = np.repeat(
+                np.asarray(rb.column("shard"), dtype=np.int64), lens)
+            if codes.size == 0:
+                continue
+            # no per-batch sort: rows are already one posting per (doc,
+            # term) and _merge_segments_encode sorts globally anyway.
+            segs.append(pa.RecordBatch.from_arrays(
+                [pa.DictionaryArray.from_arrays(
+                    pa.array(codes, type=pa.int32()), denc.dictionary),
+                 pa.array(docrep, type=pa.int64()),
+                 pa.array(tfflat, type=pa.int64()),
+                 pa.array(dlrep, type=pa.int64()),
+                 pa.array(shardrep, type=pa.int64())],
+                names=["term", "doc_id", "tf", "dl", "shard"]))
+        yield from _merge_segments_encode(segs, block)
 
     return cols.mapInArrow(encode, schema=POSTINGS_DDL)
 
@@ -374,7 +518,8 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
                 generation_dir: str, *, salted: bool = False,
                 use_pandas_udf: bool = False,
                 verify_sha: bool = False,
-                resume: bool = False) -> RunResult | IndexError:
+                resume: bool = False,
+                mapside_tf: bool = True) -> RunResult | IndexError:
     """Build one index generation.  Returns the stage-railway result
     (reference `IndexLogic.scala:23-29`: on failure, the stages that already
     succeeded are preserved).
@@ -439,6 +584,11 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
             postings = build_postings_salted(term_frequencies(docs_tok_build), cfg)
             # grouped path shuffles by (shard, term): repack per shard
             postings = postings.repartition(cfg.num_shards, "shard")
+        elif mapside_tf:
+            docs_tf = tokenized_docs_tf(source_df, cfg, use_pandas_udf)
+            if pending is not None:
+                docs_tf = docs_tf.filter(F.col("shard").isin(pending))
+            postings = build_postings_arrow_tf(docs_tf, cfg)
         else:
             postings = build_postings_arrow(docs_tok_build, cfg)
         write_partitioned(postings, "postings")

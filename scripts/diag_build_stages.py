@@ -31,7 +31,9 @@ corpus = spark.read.parquet({corpus!r})
 gen = os.path.join(tempfile.gettempdir(), f"bstage_{{cpus}}")
 shutil.rmtree(gen, ignore_errors=True)
 t0 = time.monotonic()
-res = build_index(spark, corpus, IndexConfig(num_shards=32), gen)
+res = build_index(spark, corpus,
+                  IndexConfig(num_shards=int(os.environ.get("EI4S_SHARDS", "32"))),
+                  gen)
 wall = time.monotonic() - t0
 assert isinstance(res, RunResult), str(res)
 n = corpus.count()

@@ -178,6 +178,35 @@ def test_arrow_build_matches_streaming(spark, tiny_corpus):
                 assert va == vb, (key, col)
 
 
+def test_mapside_tf_combine_matches_arrow(spark, tiny_corpus):
+    """The map-side tf-combined path (per-doc term→tf reduction BEFORE the
+    doc-id exchange, the default postings build) ≡ the token-shuffling
+    Arrow path, byte-for-byte — the combine is exact because tf is
+    additive only within a doc."""
+    from elastic_indexer4s_spark.config import IndexConfig
+    from elastic_indexer4s_spark.operators.build import (
+        build_postings_arrow, build_postings_arrow_tf, tokenized_docs,
+        tokenized_docs_tf,
+    )
+    rows = [(d.repo, d.path, d.commit, d.lang, d.content) for d in tiny_corpus]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    cfg = IndexConfig(num_shards=4, block_size=7)
+    a = {(r["shard"], r["term"]): r.asDict()
+         for r in build_postings_arrow(tokenized_docs(df, cfg), cfg).collect()}
+    b = {(r["shard"], r["term"]): r.asDict()
+         for r in build_postings_arrow_tf(tokenized_docs_tf(df, cfg), cfg).collect()}
+    assert set(a) == set(b) and len(a) > 0
+    for key, ra in a.items():
+        rb = b[key]
+        for col in ra:
+            va, vb = ra[col], rb[col]
+            if isinstance(va, (bytes, bytearray)):
+                assert bytes(va) == bytes(vb), (key, col)
+            else:
+                assert va == vb, (key, col)
+
+
 def test_verify_sha(spark, tiny_index, tiny_corpus):
     from elastic_indexer4s_spark.operators.build import verify_content_sha
     gen, _ = tiny_index
