@@ -187,7 +187,8 @@ def build_postings_stream(tf_df: DataFrame, cfg: IndexConfig,
 # map-side tf combine (shuffle-byte reduction)
 # ---------------------------------------------------------------------------
 
-TF_DDL = ("repo string, path string, commit string, dl bigint, "
+TF_DDL = ("repo string, path string, commit string, lang string, "
+          "sha256 string, dl bigint, "
           "terms array<string>, tfs array<int>")
 
 
@@ -219,7 +220,9 @@ def tokenized_docs_tf(df: DataFrame, cfg: IndexConfig,
         df = df.filter(F.col("content").isNotNull())
     tok = tokenize_udf(cfg.tokenizer)("content") if use_pandas_udf \
         else tokens_expr(F.col("content"), cfg.tokenizer)
-    with_tokens = df.select(*DOC_KEY, tok.alias("tokens"))
+    with_tokens = df.select(
+        *DOC_KEY, F.col("lang"),
+        F.sha2(F.col("content"), 256).alias("sha256"), tok.alias("tokens"))
 
     def combine(batches):
         import pyarrow.compute as pc
@@ -258,11 +261,13 @@ def tokenized_docs_tf(df: DataFrame, cfg: IndexConfig,
                 np.concatenate(([0], np.cumsum(per_row))), type=pa.int32())
             yield pa.RecordBatch.from_arrays(
                 [rb.column("repo"), rb.column("path"), rb.column("commit"),
+                 rb.column("lang"), rb.column("sha256"),
                  pa.array(lens, type=pa.int64()),
                  pa.ListArray.from_arrays(offsets, values),
                  pa.ListArray.from_arrays(offsets,
                                           pa.array(tf, type=pa.int32()))],
-                names=["repo", "path", "commit", "dl", "terms", "tfs"])
+                names=["repo", "path", "commit", "lang", "sha256",
+                       "dl", "terms", "tfs"])
 
     deduped = with_tokens.mapInArrow(combine, schema=TF_DDL)
     return with_doc_ids(deduped, DOC_KEY, cfg.num_shards)
@@ -534,15 +539,32 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
     t0 = time.monotonic()
     meter = spark.sparkContext.accumulator(0)  # throughput meter (A5)
 
-    # tokenize + doc-id assignment are recomputed per consumer, NOT cached:
-    # ids are pure functions of the data (operators/docids.py) so the two
-    # passes agree, and the single-pass codegen tokenizer is ~100x cheaper
-    # than materializing token arrays into the block-manager (measured: a
-    # .persist() here cost ~110-165s on 400k docs and destroyed 8->32-thread
-    # scaling via cache-eviction recompute; re-tokenizing costs ~2s/pass).
-    # At 100 TB the same logic holds — the tokenized corpus cannot live in
-    # cluster memory, so the scalable plan is scan-heavy, cache-free.
-    docs_tok = tokenized_docs(source_df, cfg, use_pandas_udf)
+    # ONE tokenize pass (mapside_tf default): the per-doc TF combine
+    # (tokenized_docs_tf) carries every doclen column (lang, sha256, dl)
+    # alongside the per-doc (terms, tfs), so doclen, postings, resume
+    # fingerprints and the verify join all read the SAME frame — the
+    # analyzer runs once over the corpus, not once per consumer.  The frame
+    # is persisted POST-combine: the compact per-doc term set (~ distinct
+    # terms, no positions) is the smallest faithful intermediate — the
+    # classic Lucene per-doc inverted buffer — unlike raw token arrays,
+    # whose persist measurably destroyed scaling (110-165s block-manager
+    # cost on 400k docs).  At 100 TB the combined frame is ~25-40% of the
+    # source bytes and spills to local disk like any shuffle output would
+    # (MEMORY_AND_DISK), so the plan stays executor-local and cache-safe.
+    # The salted / non-mapside paths keep the cache-free two-pass plan.
+    single_pass = (mapside_tf and not salted
+                   and os.environ.get("EI4S_SINGLE_PASS", "1") != "0")
+    if single_pass:
+        docs_tok = tokenized_docs_tf(source_df, cfg, use_pandas_udf)
+        from pyspark import StorageLevel
+        # DISK_ONLY, deliberately: storing the frame deserialized on-heap
+        # churned the old generation (233s GC at 32 threads vs 24s without);
+        # serialized-to-local-disk is GC-neutral, costs one compressed
+        # write + two streaming reads (~0.25 B/input byte here), and is the
+        # only level that still works when the corpus is 100 TB.
+        docs_tok.persist(StorageLevel.DISK_ONLY)
+    else:
+        docs_tok = tokenized_docs(source_df, cfg, use_pandas_udf)
 
     pending: list[int] | None = None  # None = full build
     if resume:
@@ -551,6 +573,8 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         pending = sorted(s for s, fp in current.items()
                          if done.get(s) != fp)
         if not pending:
+            if single_pass:
+                docs_tok.unpersist()
             return RunResult([StageSucceeded(
                 "Resume: all shards up to date, nothing to build")])
         docs_tok_build = docs_tok.filter(F.col("shard").isin(pending))
@@ -584,7 +608,9 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
             postings = build_postings_salted(term_frequencies(docs_tok_build), cfg)
             # grouped path shuffles by (shard, term): repack per shard
             postings = postings.repartition(cfg.num_shards, "shard")
-        elif mapside_tf:
+        elif single_pass:
+            postings = build_postings_arrow_tf(docs_tok_build, cfg)
+        elif mapside_tf:  # two-pass A/B fallback (EI4S_SINGLE_PASS=0)
             docs_tf = tokenized_docs_tf(source_df, cfg, use_pandas_udf)
             if pending is not None:
                 docs_tf = docs_tf.filter(F.col("shard").isin(pending))
@@ -649,6 +675,8 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         ("lineage", stage_lineage),
         ("verify", stage_verify),
     ])
+    if single_pass:
+        docs_tok.unpersist()
     if isinstance(result, RunResult):
         elapsed = time.monotonic() - t0
         result.succeeded_stages.append(

@@ -36,7 +36,8 @@ spark = (tuned_builder(f"local[{CPUS}]", f"ei4s-ev-{CPUS}",
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
-corpus = dc.corpus_shaped(spark.read.parquet(CORPUS))
+raw = spark.read.parquet(CORPUS)
+corpus = raw if "content" in raw.columns else dc.corpus_shaped(raw)
 gen = os.path.join(tempfile.gettempdir(), f"ei4s_ev_gen_{CPUS}")
 shutil.rmtree(gen, ignore_errors=True)
 t0 = time.monotonic()

@@ -23,15 +23,22 @@ def stage_metrics(evdir: str) -> dict[int, dict]:
                 if kind == "SparkListenerStageSubmitted":
                     si = ev["Stage Info"]
                     names[si["Stage ID"]] = si.get("Stage Name", "")
+                if kind == "SparkListenerStageCompleted":
+                    si = ev["Stage Info"]
+                    sub, comp = si.get("Submission Time"), si.get("Completion Time")
+                    if sub and comp:
+                        stages.setdefault(si["Stage ID"], {}).setdefault(
+                            "wall", 0)
+                        stages[si["Stage ID"]]["wall"] += comp - sub
                 if kind != "SparkListenerTaskEnd":
                     continue
                 sid = ev["Stage ID"]
                 m = ev.get("Task Metrics") or {}
-                s = stages.setdefault(sid, {
-                    "tasks": 0, "run": 0, "cpu": 0, "gc": 0,
-                    "memspill": 0, "diskspill": 0,
-                    "shwrite_t": 0, "fetchwait": 0,
-                    "input": 0, "shw": 0, "shr": 0})
+                s = stages.setdefault(sid, {})
+                for key in ("tasks", "run", "cpu", "gc", "memspill",
+                            "diskspill", "shwrite_t", "fetchwait",
+                            "input", "shw", "shr"):
+                    s.setdefault(key, 0)
                 s["tasks"] += 1
                 s["run"] += m.get("Executor Run Time", 0)
                 s["cpu"] += m.get("Executor CPU Time", 0) // 1_000_000
@@ -49,6 +56,9 @@ def stage_metrics(evdir: str) -> dict[int, dict]:
                 s["input"] += inp.get("Bytes Read", 0)
     for sid, s in stages.items():
         s["name"] = names.get(sid, "")[:60].replace("\n", " ")
+        for key in ("tasks", "run", "cpu", "gc", "memspill", "diskspill",
+                    "shwrite_t", "fetchwait", "input", "shw", "shr", "wall"):
+            s.setdefault(key, 0)
     return stages
 
 
@@ -58,6 +68,7 @@ def print_stages(stages: dict[int, dict], min_run_ms: int = 2000) -> None:
         if s["run"] < min_run_ms:
             continue
         print(f"  stage {sid:3d} [{s['name']}]: tasks={s['tasks']} "
+              f"wall={s['wall']/1000:.1f}s "
               f"run={s['run']/1000:.0f}s cpu={s['cpu']/1000:.0f}s "
               f"gc={s['gc']/1000:.0f}s "
               f"spill={s['diskspill']>>20}MB shw={s['shw']>>20}MB "
