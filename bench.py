@@ -109,6 +109,22 @@ def main() -> None:
     timings["bm25_query_p50"] = round(p50, 3)
     timings["bm25_query_p99"] = round(p99, 3)
 
+    # --- serving-tier latency (LocalSearcher: pyarrow, no Spark job) ------
+    from elastic_indexer4s_spark.serving import LocalSearcher
+    searcher = LocalSearcher(gen)
+    searcher.search(["warmup"], 10)
+    lat_local = []
+    for i in range(QUERY_RUNS):
+        terms = terms_cycle[i % len(terms_cycle)]
+        tq = time.monotonic()
+        searcher.search(terms, 10, wand=True)
+        lat_local.append(time.monotonic() - tq)
+    lat_local.sort()
+    lp50 = lat_local[len(lat_local) // 2]
+    lp99 = lat_local[min(len(lat_local) - 1, int(len(lat_local) * 0.99))]
+    timings["bm25_local_p50"] = round(lp50, 4)
+    timings["bm25_local_p99"] = round(lp99, 4)
+
     # --- operator suite ---------------------------------------------------
     for name in BENCH_QUERIES:
         fn = dc.QUERIES[name]
@@ -130,6 +146,8 @@ def main() -> None:
         "build_files_per_sec": round(files_per_sec, 1),
         "query_p50_ms": round(p50 * 1000, 1),
         "query_p99_ms": round(p99 * 1000, 1),
+        "serving_p50_ms": round(lp50 * 1000, 2),
+        "serving_p99_ms": round(lp99 * 1000, 2),
     }))
     shutil.rmtree(gen, ignore_errors=True)
     shutil.rmtree(corpus_path, ignore_errors=True)

@@ -321,6 +321,23 @@ def q_engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_engine_bm25_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier path (serving.LocalSearcher: pyarrow direct read of the
+    index artifact, NO Spark job) — must be value-identical to the DuckDB
+    BM25 oracle, like the Spark scatter-gather path.  Set semantics (k big
+    enough to return every match)."""
+    from .serving import LocalSearcher
+
+    gen = _generation_for(spark, sf_dir)
+    hits = LocalSearcher(gen).search(FLAGSHIP_TERMS, k=1_000_000, wand=True)
+    res = spark.createDataFrame(hits, "doc_id long, score double")
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
+    return (res.join(ids, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 6).alias("score")))
+
+
 # ---------------------------------------------------------------------------
 # queries — lifecycle (A9-A14) over the literal catalog fixture
 # ---------------------------------------------------------------------------
@@ -632,6 +649,9 @@ FROM documents"""
 WITH {_bm25_sql(_flagship_values(), CODE_TOK)}
 SELECT doc_id, score FROM agg"""
 
+    # the serving tier reads the same artifact, so the same oracle applies
+    oracles["engine_bm25_local"] = oracles["engine_bm25_scores"]
+
     # conjunctive: keep docs matched by ALL query terms (scored has exactly
     # one row per (query_id, doc_id, term), so count(*) = matched terms)
     oracles["engine_bm25_and"] = f"""
@@ -870,6 +890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_bm25_scores": q_engine_bm25_scores,
     "engine_bm25_and": q_engine_bm25_and,
     "engine_bm25_wand": q_engine_bm25_wand,       # rows-only
+    "engine_bm25_local": q_engine_bm25_local,
     "lifecycle_retention": q_lifecycle_retention,
     "lifecycle_alias_gate": q_lifecycle_alias_gate,
     "catalog_indices_by_age": q_catalog_indices_by_age,

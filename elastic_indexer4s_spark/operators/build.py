@@ -631,12 +631,15 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         return StageSucceeded("Wrote term dictionary")
 
     def stage_stats() -> StageSucceeded:
-        doclen = spark.read.parquet(os.path.join(generation_dir, "doclen"))
-        row = doclen.agg(
-            F.count(F.lit(1)).alias("num_docs"),
-            F.avg("dl").alias("avg_dl")).collect()[0]
-        stats = {"num_docs": int(row["num_docs"]),
-                 "avg_dl": float(row["avg_dl"] or 0.0)}
+        # corpus stats derive from the per-shard lineage rows (which carry
+        # dl_sum for exactly this purpose) — no second full doclen scan.
+        # sum/count in float64 is bit-identical to F.avg over bigint.
+        lin = spark.read.parquet(os.path.join(generation_dir, "lineage"))
+        row = lin.agg(F.sum("doc_count").alias("n"),
+                      F.sum("dl_sum").alias("s")).collect()[0]
+        n = int(row["n"] or 0)
+        stats = {"num_docs": n,
+                 "avg_dl": (float(row["s"]) / n) if n else 0.0}
         with open(os.path.join(generation_dir, "stats.json"), "w") as f:
             json.dump(stats, f)
         return StageSucceeded(
@@ -647,6 +650,7 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         postings = spark.read.parquet(os.path.join(generation_dir, "postings"))
         dstats = doclen.groupBy("shard").agg(
             F.count(F.lit(1)).alias("doc_count"),
+            F.sum("dl").alias("dl_sum"),
             F.expr("bit_xor(xxhash64(sha256))").alias("input_fingerprint"))
         pstats = postings.groupBy("shard").agg(
             F.count(F.lit(1)).alias("term_count"),
@@ -671,8 +675,8 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         ("doclen", stage_doclen),
         ("postings", stage_postings),
         ("dictionary", stage_dictionary),
-        ("stats", stage_stats),
         ("lineage", stage_lineage),
+        ("stats", stage_stats),
         ("verify", stage_verify),
     ])
     if single_pass:

@@ -1,0 +1,126 @@
+"""Low-latency local query serving over a built index generation — no Spark.
+
+The reference's serving side is an Elasticsearch cluster: documents are
+indexed through the write pipeline, then queries bypass the ingest machinery
+entirely and hit ES's own searchers (`EsOpsClientApi.scala:89-90` is the only
+query the reference itself issues).  This module is the engine-native
+equivalent of that split: **build distributed (Spark), serve from the
+artifact (pyarrow)**.  An index generation is immutable columnar parquet
+(SURVEY §1.3), so a search frontend can mmap/read it directly — the posting
+codec, BM25 math, and block-max WAND scorer are the exact same functions the
+Spark scatter-gather path uses (operators/query.py), which keeps the two
+paths rank- and score-identical by construction (pinned by tests).
+
+Latency profile: the Spark path pays one job (~0.3-1 s scheduling floor) per
+query — right for analytical batch scoring over thousands of queries; this
+path pays one filtered parquet read (row-group pruned on the sorted `term`
+column) — single-digit-ms warm, for the point-query serving tier.  At
+production scale each serving replica reads only the query terms' rows of
+the shards it hosts, exactly like an ES data node.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .config import IndexConfig
+from .functions.codec import row_to_enc
+from .operators.query import (
+    _idf,
+    _shard_exhaustive,
+    _shard_wand,
+    analyze_query,
+    load_config,
+    load_stats,
+)
+
+
+class LocalSearcher:
+    """Query a generation directory directly through pyarrow.
+
+    One instance per (immutable) generation: the dataset file listing and
+    the stats/config manifests are resolved once at construction, so a
+    query is a single filtered columnar read + in-process WAND.
+    """
+
+    def __init__(self, generation_dir: str):
+        import pyarrow.dataset as ds
+
+        self.generation_dir = generation_dir
+        self.cfg: IndexConfig = load_config(generation_dir)
+        stats = load_stats(generation_dir)
+        self.num_docs: int = stats["num_docs"]
+        self.avg_dl: float = stats["avg_dl"]
+        self.postings = ds.dataset(
+            os.path.join(generation_dir, "postings"),
+            format="parquet", partitioning="hive")
+        dict_path = os.path.join(generation_dir, "dictionary")
+        self.dictionary = (
+            ds.dataset(dict_path, format="parquet")
+            if os.path.exists(dict_path) else None)
+
+    def _dfs(self, terms: list[str], postings_tbl) -> dict[str, int]:
+        import pyarrow.dataset as ds
+
+        if self.dictionary is not None:
+            t = self.dictionary.to_table(
+                filter=ds.field("term").isin(terms))
+            return dict(zip(t.column("term").to_pylist(),
+                            (int(x) for x in t.column("df").to_pylist())))
+        # pre-dictionary generations: a term's global df is the sum of its
+        # per-shard dfs (each doc lives in exactly one shard)
+        out: dict[str, int] = {}
+        for term, df in zip(postings_tbl.column("term").to_pylist(),
+                            postings_tbl.column("df").to_pylist()):
+            out[term] = out.get(term, 0) + int(df)
+        return out
+
+    def search(self, query_terms: list[str], k: int = 10, *,
+               wand: bool = True, mode: str = "or") -> list[tuple[int, float]]:
+        """Top-k BM25 → [(doc_id, score)] ordered by (score desc, doc_id asc).
+
+        Identical semantics (analysis, scoring, tie-breaks, ``mode="and"``
+        conjunction) to :func:`operators.query.topk`.
+        """
+        import pyarrow.dataset as ds
+
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        terms = analyze_query(query_terms, self.cfg.tokenizer)
+        if not terms or self.num_docs == 0 or self.avg_dl == 0:
+            return []
+        tbl = self.postings.to_table(filter=ds.field("term").isin(terms))
+        if tbl.num_rows == 0:
+            return []
+        dfs = self._dfs(terms, tbl)
+        idfs = {t: _idf(self.num_docs, df) for t, df in dfs.items()}
+        require_all = len(terms) if mode == "and" else 0
+        scorer = _shard_wand if wand else _shard_exhaustive
+
+        pdf = tbl.to_pandas()
+        merged: list[tuple[float, int]] = []
+        for _, shard_pdf in pdf.groupby("shard", sort=False):
+            encs = [(r["term"], row_to_enc(r))
+                    for _, r in shard_pdf.iterrows()]
+            top = scorer(encs, idfs, self.cfg.k1, self.cfg.b,
+                         float(self.avg_dl), k, require_all)
+            merged.extend(zip(top["score"], top["doc_id"]))
+        merged.sort(key=lambda sd: (-sd[0], sd[1]))
+        return [(int(d), float(s)) for s, d in merged[:k]]
+
+    def count(self) -> int:
+        """Match-all doc count (reference `EsOpsClientApi.scala:89-90`)."""
+        return self.num_docs
+
+
+def search_alias(index_root: str, alias: str, query_terms: list[str],
+                 k: int = 10, **kw) -> list[tuple[int, float]]:
+    """Resolve ``alias`` (the published generation, reference
+    `AliasSwitching.scala`) and query it — the one-shot convenience wrapper a
+    serving frontend would call per request when not caching searchers."""
+    from .plans.pipeline import resolve_alias
+
+    return LocalSearcher(resolve_alias(index_root, alias)).search(
+        query_terms, k, **kw)

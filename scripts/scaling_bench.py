@@ -44,7 +44,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # (N, 4N, replicate): replicate sized so the N-thread wall is ~3 min —
 # long enough to amortize the serial floor, short enough to best-of-2.
-PAIRS = [(2, 8, 120), (8, 32, 320)]
+PAIRS = [(2, 8, 240), (8, 32, 320)]
 # testdata docs are ~300 chars; real source files are KBs.  DOC_MULT
 # concatenates the text with itself so per-doc CPU work is realistic and
 # the measurement is compute-bound (the 100 TB regime).
