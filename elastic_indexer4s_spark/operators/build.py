@@ -537,7 +537,6 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
     dir), and lineage — the resume manifest — is written only after both.
     """
     t0 = time.monotonic()
-    meter = spark.sparkContext.accumulator(0)  # throughput meter (A5)
 
     # ONE tokenize pass (mapside_tf default): the per-doc TF combine
     # (tokenized_docs_tf) carries every doclen column (lang, sha256, dl)
@@ -581,6 +580,18 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
     else:
         docs_tok_build = docs_tok
 
+    # Independent DAG branches run as CONCURRENT Spark jobs (driver
+    # threads; Spark's scheduler interleaves their tasks): doclen+postings
+    # both read the materialized cache, dictionary+lineage both read the
+    # written index — serializing them just leaves cores idle at each job
+    # boundary.  The railway stage ORDER (and its log) stays deterministic:
+    # a stage that overlaps work submits the next stage's future and the
+    # next stage awaits it.
+    from concurrent.futures import Future, ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=2)
+    futures: dict[str, Future] = {}
+    overlap = os.environ.get("EI4S_OVERLAP", "1") != "0"
+
     def write_partitioned(df: DataFrame, dataset: str) -> None:
         mode = "dynamic" if pending is not None else "static"
         (df.write.mode("overwrite")
@@ -596,14 +607,19 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
                 if pending is not None else "Created index generation")
         return StageSucceeded(f"{what} {generation_dir}")
 
-    def stage_doclen() -> StageSucceeded:
-        # docs_tok is already exchanged one-shard-per-partition by the
-        # id-assign routing, so partitionBy(shard) emits ~1 file per shard
-        # with NO extra repartition.
-        write_partitioned(docs_tok_build.select(*DOCLEN_COLS), "doclen")
-        return StageSucceeded("Wrote doclen table")
+    def stage_tokenize() -> StageSucceeded:
+        # Fill the cache with ONE job before concurrent consumers attach:
+        # two jobs racing on unmaterialized partitions would compute the
+        # scan+combine twice (the block manager stores but does not lock).
+        # In resume mode the fingerprint job already materialized it.
+        if not (single_pass and overlap):
+            return StageSucceeded("Analyzer runs per consumer (two-pass mode)")
+        n = docs_tok.count() if pending is None else None
+        what = f"Analyzed {n} documents" if n is not None \
+            else "Analyzed corpus (during resume fingerprinting)"
+        return StageSucceeded(what)
 
-    def stage_postings() -> StageSucceeded:
+    def _write_postings() -> None:
         if salted:
             postings = build_postings_salted(term_frequencies(docs_tok_build), cfg)
             # grouped path shuffles by (shard, term): repack per shard
@@ -618,11 +634,29 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         else:
             postings = build_postings_arrow(docs_tok_build, cfg)
         write_partitioned(postings, "postings")
+
+    def stage_doclen() -> StageSucceeded:
+        # docs_tok is already exchanged one-shard-per-partition by the
+        # id-assign routing, so partitionBy(shard) emits ~1 file per shard
+        # with NO extra repartition.
+        if single_pass and overlap:  # cache-backed: overlap postings encode
+            futures["postings"] = pool.submit(_write_postings)
+        write_partitioned(docs_tok_build.select(*DOCLEN_COLS), "doclen")
+        return StageSucceeded("Wrote doclen table")
+
+    def stage_postings() -> StageSucceeded:
+        if "postings" in futures:
+            futures.pop("postings").result()
+        else:
+            _write_postings()
         return StageSucceeded("Wrote postings")
 
     def stage_dictionary() -> StageSucceeded:
         # global term dictionary (term -> corpus-wide df): queries read this
         # tiny pushdown-filtered table instead of re-aggregating postings.
+        # lineage is independent (cache + footers) — overlap it.
+        if overlap:
+            futures["lineage"] = pool.submit(_write_lineage)
         postings = spark.read.parquet(os.path.join(generation_dir, "postings"))
         (postings.groupBy("term").agg(F.sum("df").alias("df"))
          .coalesce(1)
@@ -646,21 +680,52 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
             f"Indexed {stats['num_docs']} documents successfully")
 
     def stage_lineage() -> StageSucceeded:
-        doclen = spark.read.parquet(os.path.join(generation_dir, "doclen"))
-        postings = spark.read.parquet(os.path.join(generation_dir, "postings"))
-        dstats = doclen.groupBy("shard").agg(
+        if "lineage" in futures:
+            futures.pop("lineage").result()
+        else:
+            _write_lineage()
+        return StageSucceeded("Wrote per-shard lineage")
+
+    def _write_lineage() -> None:
+        # Lineage must stay O(shards), not O(index): doc-side stats come
+        # from the frame the build already computed (a cache read in
+        # single-pass mode — NOT a re-scan of the written doclen), and
+        # postings-side stats come from parquet FOOTERS + file sizes —
+        # index metadata, never index data.  This is the Iceberg-manifest
+        # discipline; re-aggregating the whole index for bookkeeping would
+        # be a second full read at 100 TB.  (Local fs API here; on a
+        # cluster the same listing goes through the Hadoop FileSystem.)
+        import pyarrow.parquet as pq
+
+        src = docs_tok if single_pass else spark.read.parquet(
+            os.path.join(generation_dir, "doclen"))
+        extra = ["_route"] if "_route" in src.columns else []
+        drows = (src.groupBy(*extra, "shard").agg(
             F.count(F.lit(1)).alias("doc_count"),
             F.sum("dl").alias("dl_sum"),
             F.expr("bit_xor(xxhash64(sha256))").alias("input_fingerprint"))
-        pstats = postings.groupBy("shard").agg(
-            F.count(F.lit(1)).alias("term_count"),
-            (F.sum(F.length("doc_blob")) + F.sum(F.length("tf_blob"))
-             + F.sum(F.length("dl_blob"))).alias("bytes"))
-        (dstats.join(pstats, "shard", "left")
-         .na.fill({"term_count": 0, "bytes": 0})
-         .write.mode("overwrite")
+            .collect())
+        post_root = os.path.join(generation_dir, "postings")
+        pstats: dict[int, list[int]] = {}
+        for d in os.listdir(post_root):
+            if not d.startswith("shard="):
+                continue
+            s = int(d.split("=", 1)[1])
+            tc_nb = pstats.setdefault(s, [0, 0])
+            part_dir = os.path.join(post_root, d)
+            for fn in os.listdir(part_dir):
+                if fn.endswith(".parquet"):
+                    p = os.path.join(part_dir, fn)
+                    tc_nb[0] += pq.read_metadata(p).num_rows
+                    tc_nb[1] += os.path.getsize(p)
+        rows = [(int(r["shard"]), int(r["doc_count"]), int(r["dl_sum"] or 0),
+                 int(r["input_fingerprint"]),
+                 *pstats.get(int(r["shard"]), (0, 0))) for r in drows]
+        (spark.createDataFrame(
+            rows, "shard int, doc_count bigint, dl_sum bigint, "
+                  "input_fingerprint bigint, term_count bigint, bytes bigint")
+         .coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(generation_dir, "lineage")))
-        return StageSucceeded("Wrote per-shard lineage")
 
     def stage_verify() -> StageSucceeded:
         if not verify_sha:
@@ -672,6 +737,7 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
 
     result = run_stages([
         ("create", stage_create),
+        ("tokenize", stage_tokenize),
         ("doclen", stage_doclen),
         ("postings", stage_postings),
         ("dictionary", stage_dictionary),
@@ -679,6 +745,7 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         ("stats", stage_stats),
         ("verify", stage_verify),
     ])
+    pool.shutdown(wait=True)  # drain overlapped jobs before releasing cache
     if single_pass:
         docs_tok.unpersist()
     if isinstance(result, RunResult):

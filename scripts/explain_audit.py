@@ -54,6 +54,9 @@ def main() -> None:
     spark = tuned_builder("local[4]", "ei4s-explain-audit",
                           shuffle_partitions=8, driver_mem="8g").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    # AQE wraps the plan in AdaptiveSparkPlan, which hides codegen ids from
+    # the pre-execution formatted explain — audit the static plan instead.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     gen = dc._generation_for(spark, SF_DIR)  # noqa: SLF001
     cfg = IndexConfig(num_shards=8, block_size=64)
@@ -98,7 +101,7 @@ def main() -> None:
     check(f"tf groupBy is a two-phase hash aggregate ({len(aggs)} "
           f"HashAggregate nodes, {exch} exchanges)", ok, "")
 
-    wsc = len(re.findall(r"WholeStageCodegen", plan))
+    wsc = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
     ok = wsc >= 2
     check(f"tf plan keeps {wsc} WholeStageCodegen spans (JVM-side hot path)",
           ok, "")
