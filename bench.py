@@ -117,7 +117,7 @@ def main() -> None:
     for i in range(QUERY_RUNS):
         terms = terms_cycle[i % len(terms_cycle)]
         tq = time.monotonic()
-        searcher.search(terms, 10, wand=True)
+        searcher.search(terms, 10)
         lat_local.append(time.monotonic() - tq)
     lat_local.sort()
     lp50 = lat_local[len(lat_local) // 2]

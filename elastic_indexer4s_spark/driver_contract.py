@@ -329,7 +329,7 @@ def q_engine_bm25_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .serving import LocalSearcher
 
     gen = _generation_for(spark, sf_dir)
-    hits = LocalSearcher(gen).search(FLAGSHIP_TERMS, k=1_000_000, wand=True)
+    hits = LocalSearcher(gen).search(FLAGSHIP_TERMS, k=1_000_000)
     res = spark.createDataFrame(hits, "doc_id long, score double")
     doclen = spark.read.parquet(os.path.join(gen, "doclen"))
     ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
