@@ -50,6 +50,16 @@ class IndexConfig:
       treated as a skewed "hot" key and salted into bounded sub-segments
       during the grouped build path (SURVEY §2 B4).
     * ``block_size`` — postings per block for the block-max WAND layout.
+    * ``doc_key`` — caller-supplied document identity columns (the reference's
+      ``RequestBuilder`` id control, `ElasticIndexer4s.scala:39-43`,
+      README.md:114-116): shard assignment, doc-id ordering, resume
+      fingerprints and sha-verification all key on these columns.
+    * ``on_error`` — per-element failure policy (reference's ``Decider``,
+      `ElasticIndexer4s.scala:45-48`, README.md:141-149): ``"fail"`` aborts
+      the build on the first bad document; ``"skip"`` drops it, continues,
+      and reports the drop count in ``stats.json["skipped_docs"]``.
+    * ``log_every`` — interval in seconds for the build-time throughput log
+      (reference `FullStream.scala:15-23` countAndLogSink, default 1/min).
     """
 
     index_prefix: str = "docs"
@@ -61,6 +71,8 @@ class IndexConfig:
     salt_span: int = 8_192  # docs per salt bucket for hot terms
     block_size: int = 128
     on_error: str = "fail"  # or "skip" — reference's Decider (ElasticIndexer4s.scala:45-48)
+    doc_key: tuple[str, ...] = ("repo", "path", "commit")
+    log_every: float = 60.0
 
     def generation_name(self, run_ts: str | None = None) -> str:
         ts = run_ts or datetime.now(timezone.utc).strftime("%Y-%m-%d't'%H.%M.%S")
@@ -73,6 +85,8 @@ class IndexConfig:
     def from_json(s: str) -> "IndexConfig":
         d = json.loads(s)
         tok = TokenizerConfig(**d.pop("tokenizer"))
+        if "doc_key" in d:
+            d["doc_key"] = tuple(d["doc_key"])
         return IndexConfig(tokenizer=tok, **d)
 
 

@@ -313,12 +313,23 @@ def q_engine_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-max WAND top-k (non-SQL-expressible k-boundary handling lives in
-    tests; here WAND must agree with the exhaustive oracle on the full set of
-    docs above the top-10 score floor). Rows-only check."""
+    """Block-max WAND top-10, hash-verified against the DuckDB BM25 oracle.
+
+    WAND's internal heap tie-breaks on the engine's dense doc_id while the
+    oracle tie-breaks on the original id, so the engine fetches a deep
+    margin (k=100 raw) and the final top-10 is re-selected on the oracle's
+    exact key (rounded score desc, original doc_id asc) — identical sets
+    unless >90 raw-score ties straddle the boundary, which the value hash
+    would catch."""
     gen = _generation_for(spark, sf_dir)
-    res = engine_topk(spark, gen, FLAGSHIP_TERMS, k=10, wand=True)
-    return res.select("doc_id", F.round("score", 6).alias("score"))
+    res = engine_topk(spark, gen, FLAGSHIP_TERMS, k=100, wand=True)
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
+    return (res.join(ids, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(10))
 
 
 def q_engine_bm25_local(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,6 +663,12 @@ SELECT doc_id, score FROM agg"""
     # the serving tier reads the same artifact, so the same oracle applies
     oracles["engine_bm25_local"] = oracles["engine_bm25_scores"]
 
+    # WAND path: same BM25 oracle, top-10 on (rounded score, doc_id) — the
+    # exact key the Spark side re-selects on (q_engine_bm25_wand)
+    oracles["engine_bm25_wand"] = f"""
+WITH {_bm25_sql(_flagship_values(), CODE_TOK)}
+SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 10"""
+
     # conjunctive: keep docs matched by ALL query terms (scored has exactly
     # one row per (query_id, doc_id, term), so count(*) = matched terms)
     oracles["engine_bm25_and"] = f"""
@@ -889,7 +906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_count": q_engine_count,
     "engine_bm25_scores": q_engine_bm25_scores,
     "engine_bm25_and": q_engine_bm25_and,
-    "engine_bm25_wand": q_engine_bm25_wand,       # rows-only
+    "engine_bm25_wand": q_engine_bm25_wand,
     "engine_bm25_local": q_engine_bm25_local,
     "lifecycle_retention": q_lifecycle_retention,
     "lifecycle_alias_gate": q_lifecycle_alias_gate,

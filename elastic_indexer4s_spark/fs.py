@@ -1,0 +1,187 @@
+"""Filesystem abstraction: every metadata/manifest access in the engine goes
+through this layer so a generation directory can live wherever the corpus
+lives — local disk, ``file://``, ``hdfs://``, ``s3://`` — not just the local
+POSIX tree (the reference's equivalent concern is delegated to the ES REST
+API; an index engine that owns its storage must own the FS boundary).
+
+Backbone is ``pyarrow.fs`` (always present, C++-side, the same FileSystem
+classes pyarrow datasets use), resolved per-URI:
+
+* scheme-less paths → ``LocalFileSystem``;
+* ``file://``, ``hdfs://``, ``s3://``, ``gs://`` → ``FileSystem.from_uri``;
+* any scheme pyarrow doesn't know (e.g. ``memory://``) falls back to fsspec
+  via ``PyFileSystem(FSSpecHandler)`` when fsspec is importable.
+
+Bulk data (postings/doclen/lineage parquet) is written by SPARK, which
+resolves the same URIs through the Hadoop FileSystem — this module covers
+the engine's own small-file metadata (`_meta.json`, `stats.json`, alias
+manifests), directory listings, and commit renames.
+
+Paths keep their URI form end-to-end ("file:///x/y" joins to
+"file:///x/y/z"); ``resolve`` returns the (filesystem, fs-internal path)
+pair for pyarrow calls.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import re
+from typing import Any
+
+from pyarrow import fs as pafs
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+#: scheme -> FileSystem cache (FS handles are heavyweight for remote stores)
+_FS_CACHE: dict[str, pafs.FileSystem] = {}
+
+
+def _fsspec_fs(scheme: str) -> pafs.FileSystem:
+    import fsspec
+
+    return pafs.PyFileSystem(pafs.FSSpecHandler(fsspec.filesystem(scheme)))
+
+
+def resolve(path: str) -> tuple[pafs.FileSystem, str]:
+    """path/URI → (FileSystem, path-inside-that-filesystem)."""
+    m = _SCHEME_RE.match(path)
+    if not m:
+        fs = _FS_CACHE.get("")
+        if fs is None:
+            fs = _FS_CACHE[""] = pafs.LocalFileSystem()
+        return fs, path
+    scheme = m.group(0)[:-3].lower()
+    fs = _FS_CACHE.get(scheme)
+    if fs is not None:
+        # from_uri also normalizes the path; re-derive it cheaply
+        rest = path[m.end():]
+        if scheme == "file":
+            return fs, "/" + rest.lstrip("/")
+        # strip authority for non-file schemes (bucket stays in the path
+        # for s3-style URIs per pyarrow's own convention)
+        return fs, rest
+    try:
+        fs, inner = pafs.FileSystem.from_uri(path)
+    except (pafs.lib.ArrowInvalid, OSError, ValueError):
+        fs = _fsspec_fs(scheme)
+        inner = path[m.end():]
+    _FS_CACHE[scheme] = fs
+    return fs, inner
+
+
+def join(base: str, *parts: str) -> str:
+    """URI-safe path join (posix semantics on the path component)."""
+    return posixpath.join(base, *parts)
+
+
+def exists(path: str) -> bool:
+    fs, p = resolve(path)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def mkdirs(path: str) -> None:
+    fs, p = resolve(path)
+    fs.create_dir(p, recursive=True)
+
+
+def delete_dir(path: str) -> None:
+    """Recursive delete; missing path is a no-op (shutil.rmtree
+    ignore_errors discipline)."""
+    fs, p = resolve(path)
+    try:
+        fs.delete_dir(p)
+    except FileNotFoundError:
+        pass
+    except OSError:
+        if fs.get_file_info(p).type != pafs.FileType.NotFound:
+            raise
+
+
+def delete_file(path: str) -> None:
+    fs, p = resolve(path)
+    fs.delete_file(p)
+
+
+def move(src: str, dst: str) -> None:
+    """Rename (atomic on POSIX/HDFS; copy+delete on object stores)."""
+    fs, s = resolve(src)
+    _, d = resolve(dst)
+    fs.move(s, d)
+
+
+def ls(path: str) -> list[pafs.FileInfo]:
+    """Non-recursive listing; [] when the directory is missing."""
+    fs, p = resolve(path)
+    try:
+        return fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    except FileNotFoundError:
+        return []
+
+
+def file_size(path: str) -> int:
+    fs, p = resolve(path)
+    return int(fs.get_file_info(p).size)
+
+
+def mtime_token(path: str) -> object:
+    """Change token for cache keys (mtime where the FS provides one)."""
+    fs, p = resolve(path)
+    info = fs.get_file_info(p)
+    return (info.mtime_ns if info.mtime_ns is not None else info.size)
+
+
+def read_bytes(path: str) -> bytes:
+    fs, p = resolve(path)
+    with fs.open_input_stream(p) as f:
+        return f.read()
+
+
+def write_bytes(path: str, data: bytes) -> None:
+    fs, p = resolve(path)
+    with fs.open_output_stream(p) as f:
+        f.write(data)
+
+
+def read_text(path: str) -> str:
+    return read_bytes(path).decode("utf-8")
+
+
+def write_text(path: str, text: str) -> None:
+    write_bytes(path, text.encode("utf-8"))
+
+
+def read_json(path: str) -> Any:
+    return json.loads(read_text(path))
+
+
+def write_json(path: str, obj: Any, *, atomic: bool = False) -> None:
+    data = json.dumps(obj, indent=2, sort_keys=True)
+    if not atomic:
+        write_text(path, data)
+        return
+    tmp = path + ".tmp"
+    write_text(tmp, data)
+    fs, _ = resolve(path)
+    try:
+        move(tmp, path)
+    except OSError:
+        # object stores without rename-over: plain overwrite is still
+        # single-object-atomic there
+        write_text(path, data)
+
+
+def parquet_file_metadata(path: str):
+    """Parquet footer read through the resolved filesystem."""
+    import pyarrow.parquet as pq
+
+    fs, p = resolve(path)
+    return pq.read_metadata(p, filesystem=fs)
+
+
+def parquet_dataset(path: str, **kw):
+    """pyarrow.dataset over any supported FS (serving tier)."""
+    import pyarrow.dataset as ds
+
+    fs, p = resolve(path)
+    return ds.dataset(p, filesystem=fs, **kw)

@@ -32,21 +32,25 @@ Scale design (targets 10^12 files / 100 TB; tested at local scale):
 
 from __future__ import annotations
 
-import json
 import os
 import time
+from typing import Callable
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fs as FS
 from ..config import IndexConfig
 from ..functions.codec import POSTINGS_DDL, encode_postings, enc_to_row
 from ..functions.tokenizer import tokens_expr, tokenize_udf
 from ..operators.docids import with_doc_ids
 from ..results import IndexError, RunResult, StageSucceeded, run_stages
 
+#: default document-identity columns (BASELINE input_hint); overridable per
+#: build via ``IndexConfig.doc_key`` (reference RequestBuilder,
+#: `ElasticIndexer4s.scala:39-43`)
 DOC_KEY = ["repo", "path", "commit"]
 
 
@@ -81,7 +85,7 @@ def tokenized_docs(df: DataFrame, cfg: IndexConfig, use_pandas_udf: bool = False
         .withColumn("dl", F.size("tokens").cast("long"))
         .drop("content")
     )
-    return with_doc_ids(enriched, DOC_KEY, cfg.num_shards)
+    return with_doc_ids(enriched, list(cfg.doc_key), cfg.num_shards)
 
 
 def term_frequencies(docs_tok: DataFrame) -> DataFrame:
@@ -191,9 +195,26 @@ TF_DDL = ("repo string, path string, commit string, lang string, "
           "sha256 string, dl bigint, "
           "terms array<string>, tfs array<int>")
 
+#: columns the TF combine computes (never passed through from the source)
+_TF_COMPUTED = ("content", "sha256", "dl", "terms", "tfs")
+
+
+def _tf_schema(df: DataFrame):
+    """Combine output schema: source columns minus content, plus computed."""
+    from pyspark.sql import types as T
+
+    fields = [f for f in df.schema.fields if f.name not in _TF_COMPUTED]
+    return T.StructType(fields + [
+        T.StructField("sha256", T.StringType()),
+        T.StructField("dl", T.LongType()),
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType()))])
+
 
 def tokenized_docs_tf(df: DataFrame, cfg: IndexConfig,
-                      use_pandas_udf: bool = False) -> DataFrame:
+                      use_pandas_udf: bool = False, *,
+                      analyzer: Callable[[str], list] | None = None,
+                      meter_acc=None, skip_acc=None) -> DataFrame:
     """Postings-pass input with a MAP-SIDE TF COMBINE: source rows →
     + doc_id, shard, dl, terms (per-doc distinct), tfs (per-doc counts).
 
@@ -210,67 +231,139 @@ def tokenized_docs_tf(df: DataFrame, cfg: IndexConfig,
 
     The reduction runs in the scan stage as a vectorized ``mapInArrow``
     (dictionary-encode + one lexsort per batch, zero per-row Python);
-    ``with_doc_ids`` then assigns ids by the same (repo, path, commit)
-    window as :func:`tokenized_docs`, so doc ids are identical across the
-    doclen and postings passes.
+    ``with_doc_ids`` then assigns ids by the same ``cfg.doc_key`` window as
+    :func:`tokenized_docs`, so doc ids are identical across the doclen and
+    postings passes.  Every non-``content`` source column is passed through,
+    so caller-supplied identity columns (``cfg.doc_key``) survive the pass.
+
+    Failure supervision (reference Decider, `ElasticIndexer4s.scala:45-48`):
+    a batch that crashes the vectorized reduction is retried ROW BY ROW;
+    under ``cfg.on_error == "skip"`` rows that still fail are dropped and
+    counted into ``skip_acc``, under ``"fail"`` the error propagates.
+    ``analyzer`` is the caller-custom per-row analyzer hook (the engine twin
+    of the reference's custom ``RequestBuilder``): content → token list in
+    Python, same skip/fail policy per document — the documented slow path.
+    ``meter_acc`` counts indexed docs per batch for the interval throughput
+    log (A5).
     """
     import pyarrow as pa
 
     if cfg.on_error == "skip":
         df = df.filter(F.col("content").isNotNull())
-    tok = tokenize_udf(cfg.tokenizer)("content") if use_pandas_udf \
-        else tokens_expr(F.col("content"), cfg.tokenizer)
-    with_tokens = df.select(
-        *DOC_KEY, F.col("lang"),
-        F.sha2(F.col("content"), 256).alias("sha256"), tok.alias("tokens"))
+    passthrough = [c for c in df.columns if c not in _TF_COMPUTED]
+    out_schema = _tf_schema(df)
+    out_names = [f.name for f in out_schema.fields]
+    on_error = cfg.on_error
+    tok_cfg = cfg.tokenizer
+
+    base_cols = [F.col(c) for c in passthrough] + [
+        F.sha2(F.col("content"), 256).alias("sha256")]
+    if analyzer is None:
+        tok = tokenize_udf(tok_cfg)("content") if use_pandas_udf \
+            else tokens_expr(F.col("content"), tok_cfg)
+        with_tokens = df.select(*base_cols, tok.alias("tokens"))
+    else:
+        with_tokens = df.select(*base_cols, F.col("content"))
+
+    def _reduce(rb: pa.RecordBatch, toks) -> pa.RecordBatch:
+        """Vectorized per-doc token→(term, tf) reduction over one batch."""
+        import pyarrow.compute as pc
+
+        n = rb.num_rows
+        flat = toks.flatten()
+        vl = toks.value_lengths()
+        if vl.null_count:
+            vl = pc.fill_null(vl, 0)
+        lens = np.asarray(vl, dtype=np.int64)
+        if flat.null_count:
+            flat = flat.fill_null("")
+        denc = flat.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        rowrep = np.repeat(np.arange(n, dtype=np.int64), lens)
+        order = np.lexsort((codes, rowrep))
+        c, r = codes[order], rowrep[order]
+        m = c.size
+        if m:
+            new = np.empty(m, dtype=bool)
+            new[0] = True
+            new[1:] = (c[1:] != c[:-1]) | (r[1:] != r[:-1])
+            starts = np.nonzero(new)[0]
+            tf = np.diff(np.append(starts, m)).astype(np.int32)
+            per_row = np.bincount(r[starts], minlength=n)
+            values = denc.dictionary.take(
+                pa.array(c[starts], type=pa.int64()))
+        else:
+            per_row = np.zeros(n, dtype=np.int64)
+            tf = np.empty(0, dtype=np.int32)
+            values = pa.array([], type=pa.string())
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(per_row))), type=pa.int32())
+        return pa.RecordBatch.from_arrays(
+            [rb.column(c) for c in passthrough]
+            + [rb.column("sha256"),
+               pa.array(lens, type=pa.int64()),
+               pa.ListArray.from_arrays(offsets, values),
+               pa.ListArray.from_arrays(offsets,
+                                        pa.array(tf, type=pa.int32()))],
+            names=out_names)
+
+    def _tokens_custom(rb: pa.RecordBatch) -> tuple[pa.RecordBatch, "pa.Array"]:
+        """Per-row custom analyzer with Decider semantics; returns the
+        (possibly row-filtered) batch and its token ListArray."""
+        texts = rb.column("content").to_pylist()
+        token_lists, keep = [], []
+        dropped = 0
+        for t in texts:
+            try:
+                token_lists.append(analyzer("" if t is None else t))
+                keep.append(True)
+            except Exception:
+                if on_error != "skip":
+                    raise
+                keep.append(False)
+                dropped += 1
+        if dropped:
+            if skip_acc is not None:
+                skip_acc.add(dropped)
+            rb = rb.filter(pa.array(keep, type=pa.bool_()))
+        rb = rb.drop_columns(["content"])
+        return rb, pa.array(token_lists, type=pa.list_(pa.string()))
 
     def combine(batches):
-        import pyarrow.compute as pc
         for rb in batches:
-            n = rb.num_rows
-            if n == 0:
+            if rb.num_rows == 0:
                 continue
-            toks = rb.column("tokens")
-            flat = toks.flatten()
-            vl = toks.value_lengths()
-            if vl.null_count:
-                vl = pc.fill_null(vl, 0)
-            lens = np.asarray(vl, dtype=np.int64)
-            if flat.null_count:
-                flat = flat.fill_null("")
-            denc = flat.dictionary_encode()
-            codes = np.asarray(denc.indices, dtype=np.int64)
-            rowrep = np.repeat(np.arange(n, dtype=np.int64), lens)
-            order = np.lexsort((codes, rowrep))
-            c, r = codes[order], rowrep[order]
-            m = c.size
-            if m:
-                new = np.empty(m, dtype=bool)
-                new[0] = True
-                new[1:] = (c[1:] != c[:-1]) | (r[1:] != r[:-1])
-                starts = np.nonzero(new)[0]
-                tf = np.diff(np.append(starts, m)).astype(np.int32)
-                per_row = np.bincount(r[starts], minlength=n)
-                values = denc.dictionary.take(
-                    pa.array(c[starts], type=pa.int64()))
+            if analyzer is not None:
+                rb2, toks = _tokens_custom(rb)
+                out = _reduce(rb2, toks) if rb2.num_rows else None
             else:
-                per_row = np.zeros(n, dtype=np.int64)
-                tf = np.empty(0, dtype=np.int32)
-                values = pa.array([], type=pa.string())
-            offsets = pa.array(
-                np.concatenate(([0], np.cumsum(per_row))), type=pa.int32())
-            yield pa.RecordBatch.from_arrays(
-                [rb.column("repo"), rb.column("path"), rb.column("commit"),
-                 rb.column("lang"), rb.column("sha256"),
-                 pa.array(lens, type=pa.int64()),
-                 pa.ListArray.from_arrays(offsets, values),
-                 pa.ListArray.from_arrays(offsets,
-                                          pa.array(tf, type=pa.int32()))],
-                names=["repo", "path", "commit", "lang", "sha256",
-                       "dl", "terms", "tfs"])
+                try:
+                    out = _reduce(rb, rb.column("tokens"))
+                except Exception:
+                    if on_error != "skip":
+                        raise
+                    # Decider fallback: isolate the poisoned rows, keep the
+                    # rest (reference drop-and-continue, README.md:141-149)
+                    goods, dropped = [], 0
+                    for i in range(rb.num_rows):
+                        row = rb.slice(i, 1)
+                        try:
+                            goods.append(_reduce(row, row.column("tokens")))
+                        except Exception:
+                            dropped += 1
+                    if dropped and skip_acc is not None:
+                        skip_acc.add(dropped)
+                    out = None
+                    if goods:
+                        tbl = pa.Table.from_batches(goods).combine_chunks()
+                        out = tbl.to_batches()[0] if tbl.num_rows else None
+            if out is not None and out.num_rows:
+                if meter_acc is not None:
+                    meter_acc.add(out.num_rows)
+                yield out
 
-    deduped = with_tokens.mapInArrow(combine, schema=TF_DDL)
-    return with_doc_ids(deduped, DOC_KEY, cfg.num_shards)
+    deduped = with_tokens.mapInArrow(combine, schema=out_schema)
+    return with_doc_ids(deduped, list(cfg.doc_key), cfg.num_shards)
 
 
 # ---------------------------------------------------------------------------
@@ -510,13 +603,22 @@ def shard_fingerprints(docs_tok: DataFrame) -> dict[int, int]:
 
 def completed_shards(spark: SparkSession, generation_dir: str) -> dict[int, int]:
     """shard -> input_fingerprint for shards a previous run completed
-    (lineage is written only after doclen+postings committed)."""
-    lineage_path = os.path.join(generation_dir, "lineage")
-    if not os.path.exists(lineage_path):
+    (lineage is committed only after doclen+postings+dictionary)."""
+    lineage_path = FS.join(generation_dir, "lineage")
+    if not FS.exists(lineage_path):
         return {}
     rows = spark.read.parquet(lineage_path).select(
         "shard", "input_fingerprint").collect()
     return {int(r["shard"]): int(r["input_fingerprint"]) for r in rows}
+
+
+def _metadata_complete(generation_dir: str) -> bool:
+    """True when every post-shard artifact of a generation exists — resume
+    may only report 'nothing to build' if this holds; otherwise a crash
+    between the lineage commit and the stats write would leave a generation
+    that resume forever reports successful but queries cannot open."""
+    return all(FS.exists(FS.join(generation_dir, n))
+               for n in ("dictionary", "stats.json", "lineage"))
 
 
 def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
@@ -524,19 +626,35 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
                 use_pandas_udf: bool = False,
                 verify_sha: bool = False,
                 resume: bool = False,
-                mapside_tf: bool = True) -> RunResult | IndexError:
+                mapside_tf: bool = True,
+                analyzer: Callable[[str], list] | None = None,
+                log_every: float | None = None) -> RunResult | IndexError:
     """Build one index generation.  Returns the stage-railway result
     (reference `IndexLogic.scala:23-29`: on failure, the stages that already
     succeeded are preserved).
 
     ``resume=True`` (SURVEY §2 B9): shards whose per-shard lineage
     fingerprint matches the current input are SKIPPED; only missing/changed
-    shards are (re)built, committed via dynamic partition overwrite — the
-    engine-native equivalent of resuming from an Iceberg-snapshot checkpoint.
-    Crash safety: doclen/postings commits are atomic per job (Spark staging
-    dir), and lineage — the resume manifest — is written only after both.
+    shards are (re)built, committed via dynamic partition overwrite; shards
+    on disk that vanished from the source are DELETED (so the served
+    artifact and stats always describe the current input) — the
+    engine-native equivalent of resuming from an Iceberg-snapshot
+    checkpoint.  Crash safety: doclen/postings commits are atomic per job
+    (Spark staging dir), and lineage — the resume manifest — is staged to
+    ``lineage_tmp`` and COMMITTED (renamed) only after the dictionary
+    succeeds; stats is written after that.  Resume's "nothing to build"
+    short-circuit additionally verifies dictionary/lineage/stats exist and
+    otherwise falls through to rebuild just the metadata stages.
+
+    ``analyzer`` — caller-custom per-row analyzer (reference RequestBuilder
+    / Decider pairing); ``log_every`` overrides ``cfg.log_every`` for the
+    interval throughput log (A5).
     """
     t0 = time.monotonic()
+    from ..metrics import ThroughputMeter
+    meter = ThroughputMeter(spark.sparkContext,
+                            interval=log_every or cfg.log_every)
+    skip_acc = spark.sparkContext.accumulator(0)
 
     # ONE tokenize pass (mapside_tf default): the per-doc TF combine
     # (tokenized_docs_tf) carries every doclen column (lang, sha256, dl)
@@ -553,8 +671,13 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
     # The salted / non-mapside paths keep the cache-free two-pass plan.
     single_pass = (mapside_tf and not salted
                    and os.environ.get("EI4S_SINGLE_PASS", "1") != "0")
+    if analyzer is not None and not single_pass:
+        raise ValueError("custom analyzer requires the single-pass build "
+                         "(mapside_tf=True, not salted)")
     if single_pass:
-        docs_tok = tokenized_docs_tf(source_df, cfg, use_pandas_udf)
+        docs_tok = tokenized_docs_tf(source_df, cfg, use_pandas_udf,
+                                     analyzer=analyzer, meter_acc=meter.acc,
+                                     skip_acc=skip_acc)
         from pyspark import StorageLevel
         # DISK_ONLY, deliberately: storing the frame deserialized on-heap
         # churned the old generation (233s GC at 32 threads vs 24s without);
@@ -566,17 +689,20 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         docs_tok = tokenized_docs(source_df, cfg, use_pandas_udf)
 
     pending: list[int] | None = None  # None = full build
+    stale_shards: list[int] = []      # on disk, gone from the source
     if resume:
         done = completed_shards(spark, generation_dir)
         current = shard_fingerprints(docs_tok)
         pending = sorted(s for s, fp in current.items()
                          if done.get(s) != fp)
-        if not pending:
+        stale_shards = sorted(s for s in done if s not in current)
+        if not pending and not stale_shards and _metadata_complete(generation_dir):
             if single_pass:
                 docs_tok.unpersist()
             return RunResult([StageSucceeded(
                 "Resume: all shards up to date, nothing to build")])
-        docs_tok_build = docs_tok.filter(F.col("shard").isin(pending))
+        docs_tok_build = (docs_tok.filter(F.col("shard").isin(pending))
+                          if pending else docs_tok.filter(F.lit(False)))
     else:
         docs_tok_build = docs_tok
 
@@ -593,6 +719,8 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
     overlap = os.environ.get("EI4S_OVERLAP", "1") != "0"
 
     def write_partitioned(df: DataFrame, dataset: str) -> None:
+        if pending is not None and not pending:
+            return  # metadata-only resume: nothing shard-level to rewrite
         mode = "dynamic" if pending is not None else "static"
         w = (df.write.mode("overwrite")
              .option("partitionOverwriteMode", mode))
@@ -604,13 +732,22 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
             # between a query decoding ~4 MB and decoding the whole shard.
             w = w.option("parquet.block.size", str(4 << 20))
         (w.partitionBy("shard")
-         .parquet(os.path.join(generation_dir, dataset)))
+         .parquet(FS.join(generation_dir, dataset)))
 
     def stage_create() -> StageSucceeded:
-        os.makedirs(generation_dir, exist_ok=True)
-        with open(os.path.join(generation_dir, "_meta.json"), "w") as f:
-            f.write(cfg.to_json())
+        FS.mkdirs(generation_dir)
+        FS.write_text(FS.join(generation_dir, "_meta.json"), cfg.to_json())
+        # Resume GC: drop shard partitions whose documents left the source —
+        # dynamic partition overwrite never deletes unmatched partitions, and
+        # a stale shard would otherwise keep being served while dropping out
+        # of lineage/stats.
+        for s in stale_shards:
+            for dataset in ("postings", "doclen"):
+                FS.delete_dir(FS.join(generation_dir, dataset, f"shard={s}"))
+        meter.start()
         what = (f"Resuming {len(pending)} stale/missing shards"
+                + (f", deleted {len(stale_shards)} vanished shards"
+                   if stale_shards else "")
                 if pending is not None else "Created index generation")
         return StageSucceeded(f"{what} {generation_dir}")
 
@@ -648,7 +785,11 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         # with NO extra repartition.
         if single_pass and overlap:  # cache-backed: overlap postings encode
             futures["postings"] = pool.submit(_write_postings)
-        write_partitioned(docs_tok_build.select(*DOCLEN_COLS), "doclen")
+        # doclen schema follows the source: shard/doc_id + every passthrough
+        # column (incl. caller doc_key cols) + dl + sha256
+        skip = {"_route", "tokens", "terms", "tfs"}
+        doclen_cols = [c for c in docs_tok_build.columns if c not in skip]
+        write_partitioned(docs_tok_build.select(*doclen_cols), "doclen")
         return StageSucceeded("Wrote doclen table")
 
     def stage_postings() -> StageSucceeded:
@@ -661,36 +802,49 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
     def stage_dictionary() -> StageSucceeded:
         # global term dictionary (term -> corpus-wide df): queries read this
         # tiny pushdown-filtered table instead of re-aggregating postings.
-        # lineage is independent (cache + footers) — overlap it.
+        # lineage is independent (cache + footers) — overlap its STAGING
+        # write; the commit (rename) happens in stage_lineage strictly after
+        # this stage succeeds, so a dictionary failure can never leave a
+        # committed lineage that makes resume report success.
         if overlap:
             futures["lineage"] = pool.submit(_write_lineage)
-        postings = spark.read.parquet(os.path.join(generation_dir, "postings"))
+        postings = spark.read.parquet(FS.join(generation_dir, "postings"))
         (postings.groupBy("term").agg(F.sum("df").alias("df"))
          .coalesce(1)
          .write.mode("overwrite")
-         .parquet(os.path.join(generation_dir, "dictionary")))
+         .parquet(FS.join(generation_dir, "dictionary")))
         return StageSucceeded("Wrote term dictionary")
 
     def stage_stats() -> StageSucceeded:
         # corpus stats derive from the per-shard lineage rows (which carry
         # dl_sum for exactly this purpose) — no second full doclen scan.
-        # sum/count in float64 is bit-identical to F.avg over bigint.
-        lin = spark.read.parquet(os.path.join(generation_dir, "lineage"))
+        # Exact bigint sum / count evaluated in float64: at least as
+        # accurate as F.avg over the doclen table (whose integral partials
+        # accumulate as double), and one tiny scan instead of a full one.
+        lin = spark.read.parquet(FS.join(generation_dir, "lineage"))
         row = lin.agg(F.sum("doc_count").alias("n"),
                       F.sum("dl_sum").alias("s")).collect()[0]
         n = int(row["n"] or 0)
         stats = {"num_docs": n,
-                 "avg_dl": (float(row["s"]) / n) if n else 0.0}
-        with open(os.path.join(generation_dir, "stats.json"), "w") as f:
-            json.dump(stats, f)
+                 "avg_dl": (float(row["s"]) / n) if n else 0.0,
+                 "skipped_docs": int(skip_acc.value)}
+        FS.write_json(FS.join(generation_dir, "stats.json"), stats)
+        skipped = (f" ({stats['skipped_docs']} skipped)"
+                   if stats["skipped_docs"] else "")
         return StageSucceeded(
-            f"Indexed {stats['num_docs']} documents successfully")
+            f"Indexed {stats['num_docs']} documents successfully{skipped}")
 
     def stage_lineage() -> StageSucceeded:
         if "lineage" in futures:
             futures.pop("lineage").result()
         else:
             _write_lineage()
+        # COMMIT: lineage becomes visible to resume only here — after
+        # doclen, postings AND dictionary all succeeded.  A crash before
+        # this point leaves only lineage_tmp, which resume ignores.
+        final = FS.join(generation_dir, "lineage")
+        FS.delete_dir(final)
+        FS.move(FS.join(generation_dir, "lineage_tmp"), final)
         return StageSucceeded("Wrote per-shard lineage")
 
     def _write_lineage() -> None:
@@ -700,31 +854,31 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         # postings-side stats come from parquet FOOTERS + file sizes —
         # index metadata, never index data.  This is the Iceberg-manifest
         # discipline; re-aggregating the whole index for bookkeeping would
-        # be a second full read at 100 TB.  (Local fs API here; on a
-        # cluster the same listing goes through the Hadoop FileSystem.)
-        import pyarrow.parquet as pq
-
+        # be a second full read at 100 TB.  All file access goes through
+        # the FS layer, so the generation may live on any supported store.
+        # Staged to lineage_tmp; stage_lineage renames it into place.
         src = docs_tok if single_pass else spark.read.parquet(
-            os.path.join(generation_dir, "doclen"))
+            FS.join(generation_dir, "doclen"))
         extra = ["_route"] if "_route" in src.columns else []
         drows = (src.groupBy(*extra, "shard").agg(
             F.count(F.lit(1)).alias("doc_count"),
             F.sum("dl").alias("dl_sum"),
             F.expr("bit_xor(xxhash64(sha256))").alias("input_fingerprint"))
             .collect())
-        post_root = os.path.join(generation_dir, "postings")
+        post_root = FS.join(generation_dir, "postings")
         pstats: dict[int, list[int]] = {}
-        for d in os.listdir(post_root):
-            if not d.startswith("shard="):
+        for dinfo in FS.ls(post_root):
+            base = dinfo.base_name
+            if not base.startswith("shard="):
                 continue
-            s = int(d.split("=", 1)[1])
+            s = int(base.split("=", 1)[1])
             tc_nb = pstats.setdefault(s, [0, 0])
-            part_dir = os.path.join(post_root, d)
-            for fn in os.listdir(part_dir):
-                if fn.endswith(".parquet"):
-                    p = os.path.join(part_dir, fn)
-                    tc_nb[0] += pq.read_metadata(p).num_rows
-                    tc_nb[1] += os.path.getsize(p)
+            for finfo in FS.ls(FS.join(post_root, base)):
+                if finfo.base_name.endswith(".parquet"):
+                    meta = FS.parquet_file_metadata(
+                        FS.join(post_root, base, finfo.base_name))
+                    tc_nb[0] += meta.num_rows
+                    tc_nb[1] += int(finfo.size)
         rows = [(int(r["shard"]), int(r["doc_count"]), int(r["dl_sum"] or 0),
                  int(r["input_fingerprint"]),
                  *pstats.get(int(r["shard"]), (0, 0))) for r in drows]
@@ -732,12 +886,13 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
             rows, "shard int, doc_count bigint, dl_sum bigint, "
                   "input_fingerprint bigint, term_count bigint, bytes bigint")
          .coalesce(1).write.mode("overwrite")
-         .parquet(os.path.join(generation_dir, "lineage")))
+         .parquet(FS.join(generation_dir, "lineage_tmp")))
 
     def stage_verify() -> StageSucceeded:
         if not verify_sha:
             return StageSucceeded("Verification skipped (verify_sha=False)")
-        n = verify_content_sha(spark, source_df, generation_dir)
+        n = verify_content_sha(spark, source_df, generation_dir,
+                               doc_key=list(cfg.doc_key))
         if n:
             raise RuntimeError(f"{n} rows failed sha256 content verification")
         return StageSucceeded("Verified per-row content sha256 equality")
@@ -753,6 +908,7 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         ("verify", stage_verify),
     ])
     pool.shutdown(wait=True)  # drain overlapped jobs before releasing cache
+    meter.stop()
     if single_pass:
         docs_tok.unpersist()
     if isinstance(result, RunResult):
@@ -763,13 +919,15 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
 
 
 def verify_content_sha(spark: SparkSession, source_df: DataFrame,
-                       generation_dir: str) -> int:
+                       generation_dir: str,
+                       doc_key: list[str] | None = None) -> int:
     """Per-row content sha256 equality source ↔ doclen (SURVEY §2 B10).
     Returns the number of mismatched/missing rows (0 = verified)."""
-    doclen = spark.read.parquet(os.path.join(generation_dir, "doclen"))
+    key = list(doc_key) if doc_key else DOC_KEY
+    doclen = spark.read.parquet(FS.join(generation_dir, "doclen"))
     src = source_df.select(
-        *DOC_KEY, F.sha2(F.col("content"), 256).alias("src_sha"))
-    joined = src.join(doclen.select(*DOC_KEY, "sha256"), DOC_KEY, "full_outer")
+        *key, F.sha2(F.col("content"), 256).alias("src_sha"))
+    joined = src.join(doclen.select(*key, "sha256"), key, "full_outer")
     return joined.filter(
         F.col("src_sha").isNull() | F.col("sha256").isNull()
         | (F.col("src_sha") != F.col("sha256"))).count()

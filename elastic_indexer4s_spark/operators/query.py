@@ -31,22 +31,20 @@ enter the top-k.  Exactness vs exhaustive scoring is pinned by tests.
 from __future__ import annotations
 
 import heapq
-import json
-import os
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fs as FS
 from ..config import IndexConfig, TokenizerConfig
 from ..functions.codec import EncodedPostings, decode_block, decode_postings, row_to_enc
 from ..functions.tokenizer import tokenize_py
 
 
 def load_stats(generation_dir: str) -> dict:
-    with open(os.path.join(generation_dir, "stats.json")) as f:
-        return json.load(f)
+    return FS.read_json(FS.join(generation_dir, "stats.json"))
 
 
 # Per-generation reader cache: generations are immutable once built (new runs
@@ -56,23 +54,32 @@ def load_stats(generation_dir: str) -> dict:
 _READERS: dict[tuple, dict[str, DataFrame]] = {}
 
 
+DICTIONARY_DDL = "term string, df bigint"
+
+
 def _readers_for(spark: SparkSession, generation_dir: str) -> dict[str, DataFrame]:
-    key = (id(spark), os.path.abspath(generation_dir),
-           os.path.getmtime(os.path.join(generation_dir, "stats.json")))
+    key = (id(spark), generation_dir,
+           FS.mtime_token(FS.join(generation_dir, "stats.json")))
     r = _READERS.get(key)
     if r is None:
-        r = {"postings": spark.read.parquet(
-                os.path.join(generation_dir, "postings"))}
-        dict_path = os.path.join(generation_dir, "dictionary")
-        if os.path.exists(dict_path):
-            r["dictionary"] = spark.read.parquet(dict_path)
+        # explicit schemas: no footer-sampling inference job on first touch,
+        # so a query (or a multi-segment fan-out, streaming.topk_multi) is
+        # ONE Spark action even on a cold generation
+        from ..functions.codec import POSTINGS_DDL
+
+        r = {"postings": spark.read.schema(POSTINGS_DDL).parquet(
+                FS.join(generation_dir, "postings"))}
+        dict_path = FS.join(generation_dir, "dictionary")
+        if FS.exists(dict_path):
+            r["dictionary"] = spark.read.schema(
+                DICTIONARY_DDL).parquet(dict_path)
         _READERS[key] = r
     return r
 
 
 def load_config(generation_dir: str) -> IndexConfig:
-    with open(os.path.join(generation_dir, "_meta.json")) as f:
-        return IndexConfig.from_json(f.read())
+    return IndexConfig.from_json(
+        FS.read_text(FS.join(generation_dir, "_meta.json")))
 
 
 def analyze_query(terms: list[str], cfg: TokenizerConfig) -> list[str]:
@@ -99,8 +106,8 @@ def lookup_dfs(spark: SparkSession, generation_dir: str, terms: list[str],
     """Global df per query term, preferring the build-time `dictionary`
     dataset (tiny scan with `term IN (...)` pushdown) over re-aggregating
     postings; falls back for pre-dictionary generations."""
-    dict_path = os.path.join(generation_dir, "dictionary")
-    if os.path.exists(dict_path):
+    dict_path = FS.join(generation_dir, "dictionary")
+    if FS.exists(dict_path):
         rows = (spark.read.parquet(dict_path)
                 .filter(F.col("term").isin(terms)).collect())
         return {r["term"]: int(r["df"]) for r in rows}
@@ -220,11 +227,14 @@ def _shard_wand(encs: list[tuple[str, EncodedPostings]], idfs: dict[str, float],
                 if int(encs[i][1].block_last[cur[i]]) == frontier:
                     cur[i], used[i], cache[i] = cur[i] + 1, 0, None
             continue
-        # score all postings ≤ frontier (each doc completes in one round, and
-        # terms are visited in ascending order → fp accumulation order matches
-        # the exhaustive scorer and the pure-Python oracle exactly)
-        pending: dict[int, float] = {}
-        pending_n: dict[int, int] = {}
+        # score all postings ≤ frontier, vectorized (each doc completes in
+        # one round, and term slices are concatenated in ascending term order
+        # → np.bincount adds weights in scan order, so each doc's fp
+        # accumulation sequence matches the exhaustive scorer and the
+        # pure-Python oracle exactly).  Only the block-skip bookkeeping stays
+        # scalar — per ROUND, not per posting.
+        ids_parts: list[np.ndarray] = []
+        contrib_parts: list[np.ndarray] = []
         for i in active:
             term, enc = encs[i]
             if cache[i] is None:
@@ -233,19 +243,26 @@ def _shard_wand(encs: list[tuple[str, EncodedPostings]], idfs: dict[str, float],
             hi = int(np.searchsorted(doc_ids, frontier, side="right"))
             lo = used[i]
             if hi > lo:
-                contrib = _score_arrays(tfs[lo:hi], dls[lo:hi], idfs[term],
-                                        k1, b, avg_dl)
-                for d, c in zip(doc_ids[lo:hi].tolist(), contrib.tolist()):
-                    pending[d] = pending.get(d, 0.0) + c
-                    if require_all:
-                        pending_n[d] = pending_n.get(d, 0) + 1
+                ids_parts.append(doc_ids[lo:hi])
+                contrib_parts.append(_score_arrays(
+                    tfs[lo:hi], dls[lo:hi], idfs[term], k1, b, avg_dl))
                 used[i] = hi
             if int(enc.block_last[cur[i]]) == frontier:
                 cur[i], used[i], cache[i] = cur[i] + 1, 0, None
-        for d, s in pending.items():
-            if require_all and pending_n[d] < require_all:
-                continue
-            push(d, s)
+        if ids_parts:
+            ids = np.concatenate(ids_parts)
+            uniq, inv = np.unique(ids, return_inverse=True)
+            scores = np.bincount(inv, weights=np.concatenate(contrib_parts))
+            if require_all:
+                keep = np.bincount(inv) >= require_all
+                uniq, scores = uniq[keep], scores[keep]
+            if len(heap) >= k:
+                # admissible pre-filter: heap[0][0] only grows during the
+                # push loop, and push() itself settles score ties by doc_id
+                m = scores >= heap[0][0]
+                uniq, scores = uniq[m], scores[m]
+            for d, s in zip(uniq.tolist(), scores.tolist()):
+                push(int(d), s)
 
     rows = sorted(((s, -negd) for s, negd in heap), key=lambda x: (-x[0], x[1]))
     return pd.DataFrame([(d, s) for s, d in rows],
@@ -310,7 +327,7 @@ def topk(spark: SparkSession, generation_dir: str, query_terms: list[str],
 
 def count_index(spark: SparkSession, generation_dir: str) -> int:
     """Match-all doc count (reference `EsOpsClientApi.scala:89-90`)."""
-    return spark.read.parquet(os.path.join(generation_dir, "doclen")).count()
+    return spark.read.parquet(FS.join(generation_dir, "doclen")).count()
 
 
 def serve_topk(spark: SparkSession, generation_dir: str,

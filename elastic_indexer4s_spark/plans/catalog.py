@@ -8,15 +8,19 @@ plus a tiny JSON alias manifest.
 
 The catalog is metadata (thousands of rows at most) — plain Python, exactly
 as the reference treats it; no Spark jobs are spawned for lifecycle
-decisions.
+decisions.  All file access goes through the engine's fs layer, so the
+index root may live on any supported store (local, ``file://``, object
+stores), not just the POSIX tree.
 """
 
 from __future__ import annotations
 
-import json
-import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+
+from pyarrow import fs as pafs
+
+from .. import fs as FS
 
 ALIAS_MANIFEST = "_aliases.json"
 META_FILE = "_meta.json"
@@ -38,42 +42,37 @@ class GenerationCatalog:
     # -- generation registration ------------------------------------------
 
     def path(self, index: str) -> str:
-        return os.path.join(self.root, index)
+        return FS.join(self.root, index)
 
     def register(self, index: str, creation_time: int | None = None) -> None:
         """Record creation time (the reference reads ES's
         ``index.creation_date`` setting, `EsOpsClientApi.scala:63-67`)."""
         ts = creation_time if creation_time is not None else int(time.time() * 1000)
-        os.makedirs(self.path(index), exist_ok=True)
-        with open(os.path.join(self.path(index), CREATED_FILE), "w") as f:
-            f.write(str(ts))
+        FS.mkdirs(self.path(index))
+        FS.write_text(FS.join(self.path(index), CREATED_FILE), str(ts))
 
     def creation_time(self, index: str) -> int:
-        p = os.path.join(self.path(index), CREATED_FILE)
-        if os.path.exists(p):
-            with open(p) as f:
-                return int(f.read().strip())
-        return int(os.stat(self.path(index)).st_mtime * 1000)
+        p = FS.join(self.path(index), CREATED_FILE)
+        if FS.exists(p):
+            return int(FS.read_text(p).strip())
+        tok = FS.mtime_token(self.path(index))
+        return int(tok // 1_000_000) if isinstance(tok, int) else 0
 
     # -- alias manifest (atomic) -------------------------------------------
 
     def _read_aliases(self) -> dict[str, list[str]]:
         """alias -> [index, ...]"""
-        p = os.path.join(self.root, ALIAS_MANIFEST)
-        if not os.path.exists(p):
+        p = FS.join(self.root, ALIAS_MANIFEST)
+        if not FS.exists(p):
             return {}
-        with open(p) as f:
-            return json.load(f)
+        return FS.read_json(p)
 
     def _write_aliases(self, aliases: dict[str, list[str]]) -> None:
         """Atomic publish: write-temp-then-rename (the engine's equivalent of
         ES's atomic alias-update API used at `EsOpsClientApi.scala:83-87`)."""
-        os.makedirs(self.root, exist_ok=True)
-        p = os.path.join(self.root, ALIAS_MANIFEST)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(aliases, f, indent=2, sort_keys=True)
-        os.replace(tmp, p)
+        FS.mkdirs(self.root)
+        FS.write_json(FS.join(self.root, ALIAS_MANIFEST), aliases,
+                      atomic=True)
 
     def add_alias(self, alias: str, index: str) -> None:
         """`EsOpsClientApi.scala:83-84` addAliasToIndex."""
@@ -97,18 +96,16 @@ class GenerationCatalog:
     def all_indices_with_info(self) -> list[IndexWithInfo]:
         """`EsOpsClientApi.scala:69-81` allIndicesWithAliasInfo: list
         generations joined with alias membership, sorted by creation time."""
-        if not os.path.isdir(self.root):
-            return []
         aliases = self._read_aliases()
         by_index: dict[str, list[str]] = {}
         for al, members in aliases.items():
             for idx in members:
                 by_index.setdefault(idx, []).append(al)
         out = []
-        for name in os.listdir(self.root):
-            full = os.path.join(self.root, name)
-            if not os.path.isdir(full):
+        for info in FS.ls(self.root):
+            if info.type != pafs.FileType.Directory:
                 continue
+            name = info.base_name
             out.append(IndexWithInfo(
                 index=name,
                 aliases=tuple(sorted(by_index.get(name, []))),
@@ -123,11 +120,9 @@ class GenerationCatalog:
 
     def size_for(self, index: str) -> int:
         """Doc count of a generation (`EsOpsClientApi.scala:89-90` — search
-        size 0 → totalHits). Reads stats.json; falls back to lineage/doclen
-        row counts would need Spark, so builds always write stats."""
-        p = os.path.join(self.path(index), "stats.json")
-        with open(p) as f:
-            return int(json.load(f)["num_docs"])
+        size 0 → totalHits). Reads stats.json; builds always write stats."""
+        return int(FS.read_json(
+            FS.join(self.path(index), "stats.json"))["num_docs"])
 
     def latest_index_with_alias_size(self, alias: str) -> int | None:
         """`EsOpsClientApi.scala:30-34`: doc count of the NEWEST generation
@@ -139,8 +134,7 @@ class GenerationCatalog:
 
     def delete_index(self, index: str) -> None:
         """`EsOpsClientApi.scala:60-61`."""
-        import shutil
-        shutil.rmtree(self.path(index), ignore_errors=True)
+        FS.delete_dir(self.path(index))
         # drop any alias entries pointing at it
         a = self._read_aliases()
         changed = False

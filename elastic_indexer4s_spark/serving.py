@@ -22,10 +22,11 @@ the shards it hosts, exactly like an ES data node.
 
 from __future__ import annotations
 
-import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
+from . import fs as FS
 from .config import IndexConfig
 from .functions.codec import row_to_enc
 from .operators.query import (
@@ -45,23 +46,28 @@ class LocalSearcher:
     the stats/config manifests are resolved once at construction, so a
     query is a single filtered columnar read + in-process scoring
     (vectorized exhaustive by default; ``wand=True`` for block-max WAND).
+    Shards score on a small thread pool — the codec/scoring work is NumPy
+    over released-GIL buffers, so shard fan-out parallelizes like the ES
+    data node it mirrors.  The generation may live on any FS the engine's
+    fs layer resolves (local, ``file://``, object stores).
     """
 
-    def __init__(self, generation_dir: str):
-        import pyarrow.dataset as ds
-
+    def __init__(self, generation_dir: str, *, n_threads: int = 4):
         self.generation_dir = generation_dir
+        self.n_threads = max(1, int(n_threads))
         self.cfg: IndexConfig = load_config(generation_dir)
         stats = load_stats(generation_dir)
         self.num_docs: int = stats["num_docs"]
         self.avg_dl: float = stats["avg_dl"]
-        self.postings = ds.dataset(
-            os.path.join(generation_dir, "postings"),
+        self.postings = FS.parquet_dataset(
+            FS.join(generation_dir, "postings"),
             format="parquet", partitioning="hive")
-        dict_path = os.path.join(generation_dir, "dictionary")
+        dict_path = FS.join(generation_dir, "dictionary")
         self.dictionary = (
-            ds.dataset(dict_path, format="parquet")
-            if os.path.exists(dict_path) else None)
+            FS.parquet_dataset(dict_path, format="parquet")
+            if FS.exists(dict_path) else None)
+        self._pool = (ThreadPoolExecutor(max_workers=self.n_threads)
+                      if self.n_threads > 1 else None)
 
     def _dfs(self, terms: list[str], postings_tbl) -> dict[str, int]:
         import pyarrow.dataset as ds
@@ -101,14 +107,23 @@ class LocalSearcher:
         require_all = len(terms) if mode == "and" else 0
         scorer = _shard_wand if wand else _shard_exhaustive
 
-        pdf = tbl.to_pandas()
-        merged: list[tuple[float, int]] = []
-        for _, shard_pdf in pdf.groupby("shard", sort=False):
-            encs = [(r["term"], row_to_enc(r))
-                    for _, r in shard_pdf.iterrows()]
+        # rows = terms × shards (tiny): plain dict grouping, no pandas rows
+        by_shard: dict[int, list] = {}
+        for r in tbl.to_pylist():
+            by_shard.setdefault(int(r["shard"]), []).append(
+                (r["term"], row_to_enc(r)))
+
+        def score_shard(encs) -> list[tuple[float, int]]:
             top = scorer(encs, idfs, self.cfg.k1, self.cfg.b,
                          float(self.avg_dl), k, require_all)
-            merged.extend(zip(top["score"], top["doc_id"]))
+            return list(zip(top["score"], top["doc_id"]))
+
+        groups = list(by_shard.values())
+        if self._pool is not None and len(groups) > 1:
+            tops = list(self._pool.map(score_shard, groups))
+        else:
+            tops = [score_shard(g) for g in groups]
+        merged = [sd for t in tops for sd in t]
         merged.sort(key=lambda sd: (-sd[0], sd[1]))
         return [(int(d), float(s)) for s, d in merged[:k]]
 
@@ -124,5 +139,9 @@ def search_alias(index_root: str, alias: str, query_terms: list[str],
     serving frontend would call per request when not caching searchers."""
     from .plans.pipeline import resolve_alias
 
-    return LocalSearcher(resolve_alias(index_root, alias)).search(
-        query_terms, k, **kw)
+    gen = resolve_alias(index_root, alias)
+    if gen is None:
+        raise KeyError(
+            f"alias {alias!r} does not resolve to any generation "
+            f"under {index_root!r}")
+    return LocalSearcher(gen).search(query_terms, k, **kw)

@@ -73,8 +73,9 @@ def topk_multi(spark: SparkSession, index_root: str,
                alias: str = SEGMENT_ALIAS, wand: bool = True) -> DataFrame:
     """Scatter-gather top-k across every segment under `alias`: per-segment
     top-k (doc ids are segment-local) merged by score -> (segment, doc_id,
-    score).  Segments are queried through the same single-action path as a
-    monolithic generation."""
+    score).  The per-segment plans are lazily UNIONED into one DataFrame, and
+    the readers carry explicit schemas (operators/query._readers_for), so an
+    N-segment query is exactly ONE Spark action — no per-segment jobs."""
     cat = GenerationCatalog(index_root)
     segments = cat.indices_by_age_for(alias)
     parts = []
