@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .config import IndexConfig
-from .functions.hashing import md5_long, md5_long_sql
+from .functions.hashing import md5_double_longs_sql, md5_long, md5_long_sql
 from .functions.tokenizer import simple_tokens_expr, simple_tokens_sql
 from .operators import dedup, multimodal, similarity, textstats
 from .operators.build import build_index
@@ -97,12 +97,26 @@ GATE_ROWS: list[tuple[int, int | None, int]] = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Restore scan parallelism for tiny test inputs: the driver's sf tables
+    are single-row-group parquet files (one scan task no matter the split
+    config — Spark cannot split below a row group), which would run every
+    CPU-heavy operator (shingling, minhash, quality metrics) effectively
+    single-threaded.  A production table has thousands of splits, so the
+    repartition is applied only when the scan has fewer partitions than
+    cores; the exchange ships the (tiny) test table once."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _spread(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _spread(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")))
 
 
 def _catalog_df(spark: SparkSession) -> DataFrame:
@@ -724,10 +738,12 @@ JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8"""
 
+    mh1, mh2 = md5_double_longs_sql("(hs.h // 2)::VARCHAR || ':' || ngram")
     oracles["dedup_minhash_lsh"] = f"""
 WITH {ngram_cte},
 hx AS (SELECT doc_id, hs.h,
-              min({h("hs.h::VARCHAR || ':' || ngram")}) AS minhash
+              min(CASE WHEN hs.h % 2 = 0 THEN {mh1} ELSE {mh2} END)
+                AS minhash
        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) hs
        GROUP BY doc_id, hs.h),
 band_sig AS (SELECT doc_id, (h // 4) AS band,

@@ -29,3 +29,25 @@ def md5_long(col: Column) -> Column:
 def md5_long_sql(expr: str) -> str:
     """DuckDB SQL producing the identical value as :func:`md5_long`."""
     return f"cast(('0x' || substring(md5({expr}), 1, 15)) as bigint)"
+
+
+def md5_double_longs(col: Column) -> tuple[Column, Column]:
+    """Two independent non-negative bigints from ONE md5: bits [0,60) and
+    [64,120) of the digest (hex chars 1-15 and 16-29).
+
+    The two halves of one digest are independent uniform draws, so
+    families that need many hashes per value (MinHash permutations) get
+    TWO independent hash functions per md5 — half the digest cost of one
+    md5 per (value, h).  Both values stay non-negative in a signed 64-bit
+    long on every engine.
+    """
+    m = F.md5(col)
+    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 16, 14), 16, 10).cast("long")
+    return h1, h2
+
+
+def md5_double_longs_sql(expr: str) -> tuple[str, str]:
+    """DuckDB twins of :func:`md5_double_longs`."""
+    return (f"cast(('0x' || substring(md5({expr}), 1, 15)) as bigint)",
+            f"cast(('0x' || substring(md5({expr}), 16, 14)) as bigint)")
