@@ -90,6 +90,48 @@ class IndexConfig:
         return IndexConfig(tokenizer=tok, **d)
 
 
+class MappingSettingError(ValueError):
+    """Raised when a raw mapping/config JSON string is rejected (reference
+    `MappingSetting.scala:23-26` ``StringMappingSetting.unsafeString``:
+    user-supplied raw JSON is parsed up front and rejected loudly, pinned
+    by `MappingSettingSpec.scala:7-14`)."""
+
+
+def mapping_from_json(raw: str) -> IndexConfig:
+    """Validating raw-JSON config ingestion — the engine twin of the
+    reference's ``StringMappingSetting``: accepts the exact ``IndexConfig``
+    JSON shape, rejects malformed JSON, non-object payloads, unknown keys,
+    and bad enum values with a :class:`MappingSettingError` instead of a
+    downstream crash mid-build."""
+    import dataclasses
+
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise MappingSettingError(f"mapping is not valid JSON: {e}") from e
+    if not isinstance(d, dict):
+        raise MappingSettingError(
+            f"mapping must be a JSON object, got {type(d).__name__}")
+    tok_raw = d.pop("tokenizer", {})
+    if not isinstance(tok_raw, dict):
+        raise MappingSettingError("'tokenizer' must be a JSON object")
+    known = {f.name for f in dataclasses.fields(IndexConfig)} - {"tokenizer"}
+    tok_known = {f.name for f in dataclasses.fields(TokenizerConfig)}
+    unknown = sorted((set(d) - known) | {f"tokenizer.{k}" for k in
+                                         set(tok_raw) - tok_known})
+    if unknown:
+        raise MappingSettingError(f"unknown mapping keys: {unknown}")
+    if "doc_key" in d:
+        d["doc_key"] = tuple(d["doc_key"])
+    cfg = IndexConfig(tokenizer=TokenizerConfig(**tok_raw), **d)
+    if cfg.on_error not in ("fail", "skip"):
+        raise MappingSettingError(
+            f"on_error must be 'fail' or 'skip', got {cfg.on_error!r}")
+    if cfg.num_shards < 1 or cfg.block_size < 1:
+        raise MappingSettingError("num_shards and block_size must be >= 1")
+    return cfg
+
+
 @dataclass(frozen=True)
 class EngineConfig:
     """Top-level engine config: where the source table lives and where index
@@ -115,9 +157,16 @@ def default_sf_dir() -> str:
 #: default G1 collector collapses under that allocation rate as threads grow
 #: (1M-row tokenizer probe, scripts/profile_jvm.py: 70 s at 8 threads,
 #: 166 s at 32 — *anti*-scaling), while the throughput-oriented parallel
-#: collector scales it cleanly (15.9 s at 32 threads, 10.5x).  On a real
-#: cluster the same flag goes in ``spark.executor.extraJavaOptions``.
-ENGINE_JAVA_OPTIONS = "-XX:+UseParallelGC"
+#: collector scales it cleanly (15.9 s at 32 threads, 10.5x).
+#:
+#: ``-Xmn1g`` pins the young generation: with the default sizing (~1/3 of a
+#: pinned 24g heap) every young collection evacuates gigabytes and showed
+#: up as a 2-6 s pause tail on ~15% of BM25 queries; a 1g young gen turns
+#: those into sub-50ms collections (interleaved A/B: query max 2.2 s -> 0.5 s,
+#: p50 1154 -> 446 ms) at no measurable build-throughput cost — execution
+#: memory is off-heap, so the heap holds only short-lived row/string churn.
+#: On a real cluster the same flags go in ``spark.executor.extraJavaOptions``.
+ENGINE_JAVA_OPTIONS = "-XX:+UseParallelGC -Xmn1g"
 
 
 def tuned_builder(master: str, app: str, *, shuffle_partitions: int,

@@ -591,14 +591,29 @@ def build_postings_salted(tf_df: DataFrame, cfg: IndexConfig) -> DataFrame:
 DOCLEN_COLS = ["shard", "doc_id", "repo", "path", "commit", "lang", "dl", "sha256"]
 
 
-def shard_fingerprints(docs_tok: DataFrame) -> dict[int, int]:
-    """Per-shard input fingerprint: bit_xor(xxhash64(sha256(content))) —
+def doc_side_lineage(docs_tok: DataFrame) -> list[tuple[int, int, int, int]]:
+    """One aggregate pass over the analyzed frame → per-shard
+    ``(shard, doc_count, dl_sum, input_fingerprint)`` rows.
+
+    The fingerprint is ``bit_xor(xxhash64(sha256(content)))`` —
     order-independent, so it is computable from any partitioning and
-    comparable against the lineage of a previous (partial) build."""
+    comparable against the lineage of a previous (partial) build.  The
+    same job MATERIALIZES the single-pass cache, so count, resume
+    fingerprints, lineage doc stats and corpus stats all come from one
+    read of the corpus instead of three.
+    """
     extra = ["_route"] if "_route" in docs_tok.columns else []
-    rows = (docs_tok.groupBy(*extra, "shard")
-            .agg(F.expr("bit_xor(xxhash64(sha256))").alias("fp")).collect())
-    return {int(r["shard"]): int(r["fp"]) for r in rows}
+    rows = (docs_tok.groupBy(*extra, "shard").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.sum("dl").alias("dl_sum"),
+        F.expr("bit_xor(xxhash64(sha256))").alias("fp")).collect())
+    return sorted((int(r["shard"]), int(r["doc_count"]),
+                   int(r["dl_sum"] or 0), int(r["fp"])) for r in rows)
+
+
+def shard_fingerprints(docs_tok: DataFrame) -> dict[int, int]:
+    """shard -> input fingerprint (see :func:`doc_side_lineage`)."""
+    return {s: fp for s, _, _, fp in doc_side_lineage(docs_tok)}
 
 
 def completed_shards(spark: SparkSession, generation_dir: str) -> dict[int, int]:
@@ -688,11 +703,14 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
     else:
         docs_tok = tokenized_docs(source_df, cfg, use_pandas_udf)
 
+    doc_lineage_rows: list[tuple[int, int, int, int]] = []
+
     pending: list[int] | None = None  # None = full build
     stale_shards: list[int] = []      # on disk, gone from the source
     if resume:
         done = completed_shards(spark, generation_dir)
-        current = shard_fingerprints(docs_tok)
+        doc_lineage_rows = doc_side_lineage(docs_tok)
+        current = {s: fp for s, _, _, fp in doc_lineage_rows}
         pending = sorted(s for s, fp in current.items()
                          if done.get(s) != fp)
         stale_shards = sorted(s for s in done if s not in current)
@@ -716,6 +734,7 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
     from concurrent.futures import Future, ThreadPoolExecutor
     pool = ThreadPoolExecutor(max_workers=2)
     futures: dict[str, Future] = {}
+    lineage_totals: dict[str, tuple[int, int]] = {}
     overlap = os.environ.get("EI4S_OVERLAP", "1") != "0"
 
     def write_partitioned(df: DataFrame, dataset: str) -> None:
@@ -755,13 +774,18 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         # Fill the cache with ONE job before concurrent consumers attach:
         # two jobs racing on unmaterialized partitions would compute the
         # scan+combine twice (the block manager stores but does not lock).
+        # The materializing job IS the doc-side lineage aggregate, so the
+        # doc count, per-shard lineage stats and corpus stats ride along
+        # for free — no separate count or lineage pass over the cache.
         # In resume mode the fingerprint job already materialized it.
+        nonlocal doc_lineage_rows
         if not (single_pass and overlap):
             return StageSucceeded("Analyzer runs per consumer (two-pass mode)")
-        n = docs_tok.count() if pending is None else None
-        what = f"Analyzed {n} documents" if n is not None \
-            else "Analyzed corpus (during resume fingerprinting)"
-        return StageSucceeded(what)
+        if pending is None:
+            doc_lineage_rows = doc_side_lineage(docs_tok)
+            n = sum(r[1] for r in doc_lineage_rows)
+            return StageSucceeded(f"Analyzed {n} documents")
+        return StageSucceeded("Analyzed corpus (during resume fingerprinting)")
 
     def _write_postings() -> None:
         if salted:
@@ -817,16 +841,22 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
 
     def stage_stats() -> StageSucceeded:
         # corpus stats derive from the per-shard lineage rows (which carry
-        # dl_sum for exactly this purpose) — no second full doclen scan.
+        # dl_sum for exactly this purpose) — no second full doclen scan;
+        # the totals were already summed driver-side during the lineage
+        # collect, so the common path costs ZERO Spark jobs (the re-read
+        # below only runs if lineage came from a previous process).
         # Exact bigint sum / count evaluated in float64: at least as
         # accurate as F.avg over the doclen table (whose integral partials
-        # accumulate as double), and one tiny scan instead of a full one.
-        lin = spark.read.parquet(FS.join(generation_dir, "lineage"))
-        row = lin.agg(F.sum("doc_count").alias("n"),
-                      F.sum("dl_sum").alias("s")).collect()[0]
-        n = int(row["n"] or 0)
+        # accumulate as double).
+        if "totals" in lineage_totals:
+            n, s = lineage_totals["totals"]
+        else:
+            lin = spark.read.parquet(FS.join(generation_dir, "lineage"))
+            row = lin.agg(F.sum("doc_count").alias("n"),
+                          F.sum("dl_sum").alias("s")).collect()[0]
+            n, s = int(row["n"] or 0), int(row["s"] or 0)
         stats = {"num_docs": n,
-                 "avg_dl": (float(row["s"]) / n) if n else 0.0,
+                 "avg_dl": (float(s) / n) if n else 0.0,
                  "skipped_docs": int(skip_acc.value)}
         FS.write_json(FS.join(generation_dir, "stats.json"), stats)
         skipped = (f" ({stats['skipped_docs']} skipped)"
@@ -857,14 +887,12 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         # be a second full read at 100 TB.  All file access goes through
         # the FS layer, so the generation may live on any supported store.
         # Staged to lineage_tmp; stage_lineage renames it into place.
-        src = docs_tok if single_pass else spark.read.parquet(
-            FS.join(generation_dir, "doclen"))
-        extra = ["_route"] if "_route" in src.columns else []
-        drows = (src.groupBy(*extra, "shard").agg(
-            F.count(F.lit(1)).alias("doc_count"),
-            F.sum("dl").alias("dl_sum"),
-            F.expr("bit_xor(xxhash64(sha256))").alias("input_fingerprint"))
-            .collect())
+        if doc_lineage_rows:
+            drows = doc_lineage_rows  # computed by the materializing job
+        else:
+            src = docs_tok if single_pass else spark.read.parquet(
+                FS.join(generation_dir, "doclen"))
+            drows = doc_side_lineage(src)
         post_root = FS.join(generation_dir, "postings")
         pstats: dict[int, list[int]] = {}
         for dinfo in FS.ls(post_root):
@@ -879,9 +907,10 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
                         FS.join(post_root, base, finfo.base_name))
                     tc_nb[0] += meta.num_rows
                     tc_nb[1] += int(finfo.size)
-        rows = [(int(r["shard"]), int(r["doc_count"]), int(r["dl_sum"] or 0),
-                 int(r["input_fingerprint"]),
-                 *pstats.get(int(r["shard"]), (0, 0))) for r in drows]
+        rows = [(s, dc, dl, fp, *pstats.get(s, (0, 0)))
+                for s, dc, dl, fp in drows]
+        lineage_totals["totals"] = (sum(r[1] for r in rows),
+                                    sum(r[2] for r in rows))
         (spark.createDataFrame(
             rows, "shard int, doc_count bigint, dl_sum bigint, "
                   "input_fingerprint bigint, term_count bigint, bytes bigint")

@@ -44,7 +44,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # (N, 4N, replicate): replicate sized so the N-thread wall is ~3 min —
 # long enough to amortize the serial floor, short enough to best-of-2.
-PAIRS = [(2, 8, 240), (8, 32, 320)]
+# SCALE_PAIRS="2:8:240,8:32:320" overrides for targeted runs.
+PAIRS = [(2, 8, 480), (8, 32, 480)]
+if os.environ.get("SCALE_PAIRS"):
+    PAIRS = [tuple(int(x) for x in p.split(":"))
+             for p in os.environ["SCALE_PAIRS"].split(",")]
 # testdata docs are ~300 chars; real source files are KBs.  DOC_MULT
 # concatenates the text with itself so per-doc CPU work is realistic and
 # the measurement is compute-bound (the 100 TB regime).
@@ -92,6 +96,8 @@ t0 = time.monotonic()
 res = build_index(spark, corpus, IndexConfig(num_shards={shards}), gen)
 build_sec = time.monotonic() - t0
 assert isinstance(res, RunResult), str(res)
+for s in res.succeeded_stages:
+    print("STAGE", str(s), file=sys.stderr)
 n_docs = corpus.count()
 shutil.rmtree(gen, ignore_errors=True)
 print("RESULT " + json.dumps({{
@@ -172,6 +178,9 @@ def run_once(cpus: int, corpus: str) -> dict:
     out = subprocess.run(["taskset", "-c", f"0-{cpus - 1}",
                           sys.executable, script, str(cpus)],
                          capture_output=True, text=True, timeout=1800)
+    for line in out.stderr.splitlines():
+        if line.startswith("STAGE "):
+            print(f"    [{cpus}] {line[6:]}", file=sys.stderr)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])

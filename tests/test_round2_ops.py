@@ -332,3 +332,32 @@ def test_minhash_signature_array_matches_exploded(spark):
            minhash_signature_array(df, num_hashes=8).collect()}
     for r in minhash_signatures(df, num_hashes=8).collect():
         assert arr[r["doc_id"]][r["h"]] == r["minhash"]
+
+
+# ---------------------------------------------------------------------------
+# Raw mapping validation (reference StringMappingSetting.unsafeString,
+# MappingSettingSpec.scala:7-14)
+# ---------------------------------------------------------------------------
+
+def test_mapping_from_json_roundtrip():
+    from elastic_indexer4s_spark.config import IndexConfig, mapping_from_json
+
+    cfg = IndexConfig(num_shards=4, doc_key=("a", "b"))
+    assert mapping_from_json(cfg.to_json()) == cfg
+
+
+def test_mapping_from_json_rejects():
+    from elastic_indexer4s_spark.config import (
+        MappingSettingError,
+        mapping_from_json,
+    )
+
+    for bad in ('{"num_shards": 4',           # malformed JSON
+                '[1, 2]',                     # not an object
+                '{"no_such_key": 1}',         # unknown key
+                '{"tokenizer": {"bogus": 1}}',  # unknown nested key
+                '{"tokenizer": 3}',           # tokenizer not an object
+                '{"on_error": "explode"}',    # bad enum
+                '{"num_shards": 0}'):         # bad range
+        with pytest.raises(MappingSettingError):
+            mapping_from_json(bad)
