@@ -444,6 +444,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "bucket"))
 
 
+def q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return (similarity.ivf_assign(emb, n_centroids=8, dim=64)
+            .select("vec_id", F.col("cell").cast("long").alias("cell")))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.ivf_topk(emb, q, k=10, n_centroids=8, n_probe=2, dim=64)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "vec_id", "cosine")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(_docs(spark, sf_dir))
 
@@ -570,6 +585,33 @@ scored AS (
 ),
 agg AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
         FROM scored GROUP BY query_id, doc_id)"""
+
+
+def _ivf_sql_parts(n_centroids: int = 8, dim: int = 64,
+                   vec: str = "v") -> tuple[str, str, str]:
+    """(score defs, argmax CASE, per-cell score CASE) — DuckDB twins of
+    similarity._cell_scores/_argmax_case, identical literal constants and
+    left-assoc fp op order."""
+    import math
+
+    from .operators.similarity import centroid_component
+
+    defs = []
+    for c in range(n_centroids):
+        comps = [centroid_component(c, d) for d in range(dim)]
+        inv = 1.0 / math.sqrt(sum(x * x for x in comps))
+        terms = " + ".join(
+            f"({vec}[{d + 1}] * {comps[d]!r})" for d in range(dim))
+        defs.append(f"(0.0 + {terms}) * {inv!r} AS s{c}")
+    whens = []
+    for c in range(n_centroids):
+        cond = " AND ".join(
+            f"s{c} >= s{o}" for o in range(n_centroids) if o != c)
+        whens.append(f"WHEN {cond} THEN {c}")
+    argmax = "CASE " + " ".join(whens) + " END"
+    by_cell = "CASE cs.cell " + " ".join(
+        f"WHEN {c} THEN s{c}" for c in range(n_centroids)) + " END"
+    return ", ".join(defs), argmax, by_cell
 
 
 def _plane_const(p: int, d: int) -> float:
@@ -798,6 +840,36 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 dots AS (SELECT vec_id, {lsh_dots} FROM e)
 SELECT vec_id, {lsh_bucket} AS bucket FROM dots"""
 
+    ivf_defs, ivf_argmax, ivf_by_cell = _ivf_sql_parts(8, 64, "v")
+    ivf_qdefs, _, _ = _ivf_sql_parts(8, 64, "qv")
+    oracles["ann_ivf_cells"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, {ivf_defs} FROM e)
+SELECT vec_id, ({ivf_argmax})::BIGINT AS cell FROM d"""
+
+    cos_pv = _COS.format(a="probe.qv", b="cells.v")
+    oracles["ann_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, v, {ivf_defs} FROM e),
+cells AS (SELECT vec_id, v, ({ivf_argmax})::BIGINT AS cell FROM d),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+qd AS (SELECT query_id, qv, {ivf_qdefs} FROM q),
+qc AS (SELECT query_id, qv, cs.cell, {ivf_by_cell} AS cscore
+       FROM qd CROSS JOIN (SELECT unnest(range(8)) AS cell) cs),
+probe AS (SELECT query_id, qv, cell FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cscore DESC, cell) AS rn FROM qc)
+  WHERE rn <= 2),
+scored AS (SELECT probe.query_id, cells.vec_id,
+                  round({cos_pv}, 6) AS cosine
+           FROM probe JOIN cells USING (cell)),
+r AS (SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id, rank::BIGINT AS rank, vec_id, cosine FROM r
+WHERE rank <= 10"""
+
     oracles["lang_id"] = f"""
 WITH toks AS (SELECT doc_id, {TOK} AS toks FROM documents),
 markers AS (SELECT * FROM (VALUES {_MARKER_VALUES}) AS m(lang_cand, tok)),
@@ -934,6 +1006,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf_cells": q_ann_ivf_cells,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id": q_lang_id,
     "quality": q_quality,
     "token_counts": q_token_counts,

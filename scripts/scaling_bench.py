@@ -250,15 +250,25 @@ def main() -> None:
     lines.append(
         "Software adds no per-core overhead as threads grow: the same "
         "work costs the same JVM CPU at 2 and at 8 threads (130s vs 121s, "
-        "event-log A/B) and the dominant scan+encode stage's wall scales "
-        "at ~0.9 efficiency 2->8; the raw totals are dragged by the "
-        "remaining small-stage/driver floor and by host sharing. The "
-        "8->32 pair is dominated by the host: in several measurement "
-        "windows local[32] ran SLOWER than local[8] on identical input "
-        "(all 32 vCPUs pinned leaves no slack for neighbors), so the "
-        "2->8 pair is the meaningful software measurement; on a real "
-        "cluster, 4N executors add memory channels and cores together, "
-        "which neither pair can emulate on one shared socket.")
+        "event-log A/B); per-stage walls at the current build put the "
+        "dominant tokenize+combine+exchange stage at ~0.83-0.86 "
+        "efficiency 2->8 and the (overlapped, disk-sharing) "
+        "doclen+postings writes at ~0.68 — the raw total is their "
+        "weighted mix plus the cold-JVM floor (~20s at 2 cores, ~10s at "
+        "8, measured on a 2k-doc build). A TRUE multi-executor run "
+        "(local-cluster[N,1] = N separate executor JVMs, the literal "
+        "N-vs-4N-executors shape) was also measured: 183s at 2 "
+        "executors vs 74s at 8 -> 0.62 — WORSE than the thread proxy, "
+        "because each extra JVM pays its own JIT/GC/IPC; the thread "
+        "pair is the fairer software measurement. Per-knob A/Bs (rdd "
+        "compression, zstd parquet, Arrow batch size 2.5k-40k, shard "
+        "count 32-128, -Xmn young-gen) all landed within noise of the "
+        "shipped defaults. The 8->32 pair is dominated by the host "
+        "(dram ceiling as low as 0.62; several windows ran local[32] "
+        "slower than local[8] on identical input), so 2->8 is the "
+        "meaningful pair; on a real cluster, 4N executors add memory "
+        "channels and disks together, which no pinned-core split of one "
+        "shared socket can emulate.")
     lines.append("")
     bench_md = os.path.join(REPO, "BENCH.md")
     with open(bench_md) as f:

@@ -118,3 +118,29 @@ def test_lsh_topk_subset_of_bucket(spark, vecs):
     ids = [r["vec_id"] for r in out]
     assert 0 in ids and 1 in ids         # identical vecs share any bucket
     assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_ivf_assign_deterministic(spark, vecs):
+    a1 = {r["vec_id"]: r["cell"]
+          for r in similarity.ivf_assign(vecs, n_centroids=4, dim=3).collect()}
+    a2 = {r["vec_id"]: r["cell"]
+          for r in similarity.ivf_assign(vecs, n_centroids=4, dim=3).collect()}
+    assert a1 == a2
+    assert a1[0] == a1[1]                 # identical vectors -> same cell
+    assert all(0 <= v < 4 for v in a1.values())
+
+
+def test_ivf_topk_matches_brute_force_within_probed_cells(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(vecs, q, k=5, n_centroids=4, n_probe=4,
+                              dim=3).collect()
+    # probing ALL cells makes IVF exhaustive: must equal brute force
+    bf = similarity.brute_force_topk(vecs, q, k=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in out] == \
+        [(r["vec_id"], r["cosine"]) for r in bf]
+    narrow = similarity.ivf_topk(vecs, q, k=5, n_centroids=4, n_probe=1,
+                                 dim=3).collect()
+    # a 1-probe search returns a subset of the exhaustive ranking
+    assert {r["vec_id"] for r in narrow} <= {r["vec_id"] for r in bf}
+    assert 0 in {r["vec_id"] for r in narrow}  # query's own cell is probed
