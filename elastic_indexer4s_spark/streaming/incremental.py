@@ -93,6 +93,94 @@ def topk_multi(spark: SparkSession, index_root: str,
                        F.col("doc_id")).limit(k)
 
 
+def compact_segments(spark: SparkSession, index_root: str,
+                     source_df: DataFrame, cfg: IndexConfig,
+                     alias: str = SEGMENT_ALIAS,
+                     delete_old: bool = True) -> str:
+    """Merge the per-batch segments under ``alias`` into ONE generation
+    built from the full source — the Lucene forceMerge analog.
+
+    Per-segment BM25 stats (df, avg_dl) are segment-local approximations;
+    the compacted generation restores corpus-exact scores.  Publication is
+    atomic: the compacted generation is built first, then the alias flips
+    to it and the replaced segments are dropped (their doc ids were
+    segment-local, so nothing references them once unaliased).  Returns
+    the compacted generation name.
+    """
+    from ..results import RunResult
+
+    cat = GenerationCatalog(index_root)
+    old = cat.indices_by_age_for(alias)
+    name = cfg.generation_name() + "_compacted"
+    res = build_index(spark, source_df, cfg, cat.path(name))
+    if not isinstance(res, RunResult):
+        raise RuntimeError(f"compaction build failed: {res}")
+    cat.register(name)
+    cat.add_alias(alias, name)
+    for seg in old:
+        cat.remove_alias(alias, seg)
+        if delete_old:
+            cat.delete_index(seg)
+    return name
+
+
+SESSION_COUNTS_DDL = "user_id long, n_sessions long, n_events long"
+_SESSION_STATE_DDL = "last_us long, n_sessions long, n_events long"
+
+
+def streaming_session_counts(stream_df: DataFrame, ts_col: str = "ts",
+                             user_col: str = "user_id",
+                             gap_minutes: int = 10) -> DataFrame:
+    """Custom STATEFUL streaming operator: running per-user session counts
+    with ``applyInPandasWithState`` (the engine's example of semantics the
+    built-in windowed aggregations can't express — a data-dependent
+    session gap carried across micro-batches AND restarts via the state
+    store).
+
+    A new session starts when a user's gap since their previous event
+    exceeds ``gap_minutes`` — the same rule as the batch
+    ``events_sessions`` oracle query.  Emits one updated
+    (user_id, n_sessions, n_events) row per user per micro-batch;
+    per-batch work is vectorized pandas (sort + diff), no per-row Python.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupStateTimeout,
+    )
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        last_us, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0))
+        ts_parts = []
+        for pdf in pdfs:
+            ts_parts.append(pd.to_datetime(pdf[ts_col]).astype("int64")
+                            // 1000)
+        ts_us = pd.concat(ts_parts).sort_values().to_numpy()
+        if ts_us.size:
+            import numpy as np
+
+            prev = np.empty_like(ts_us)
+            prev[1:] = ts_us[:-1]
+            if last_us is None:
+                prev[0] = ts_us[0] - gap_us - 1  # first ever event: new
+            else:
+                prev[0] = last_us
+            n_sessions += int(((ts_us - prev) > gap_us).sum())
+            n_events += int(ts_us.size)
+            last_us = int(ts_us[-1])
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_sessions": [n_sessions],
+                            "n_events": [n_events]})
+
+    return (stream_df.groupBy(user_col).applyInPandasWithState(
+        update, SESSION_COUNTS_DDL, _SESSION_STATE_DDL,
+        "update", GroupStateTimeout.NoTimeout))
+
+
 def windowed_doc_counts(stream_df: DataFrame, ts_col: str,
                         window: str = "1 minute",
                         watermark: str = "2 minutes") -> DataFrame:

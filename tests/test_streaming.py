@@ -84,3 +84,80 @@ def test_windowed_doc_counts(spark, tmp_path):
     assert ("2024-01-01 00:00:00", 2) in got
     assert ("2024-01-01 00:01:00", 1) in got
     assert ("2024-01-01 00:03:00", 1) in got
+
+
+def test_compact_segments(spark, stream_dirs):
+    from elastic_indexer4s_spark.operators.query import count_index, topk
+    from elastic_indexer4s_spark.streaming.incremental import compact_segments
+
+    in_dir, idx_root, ck = stream_dirs
+    cfg = IndexConfig(index_prefix="seg", num_shards=2, block_size=16)
+    _write_batch(spark, in_dir, "b1", _rows("alpha", 15))
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    incremental_index(spark, stream, idx_root, cfg, ck)
+    _write_batch(spark, in_dir, "b2", _rows("beta", 10))
+    stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+    incremental_index(spark, stream, idx_root, cfg, ck)
+    cat = GenerationCatalog(idx_root)
+    segments = cat.indices_by_age_for("live-segments")
+    assert len(segments) >= 2
+
+    full_src = spark.read.parquet(in_dir)
+    name = compact_segments(spark, idx_root, full_src, cfg)
+    assert cat.indices_by_age_for("live-segments") == [name]
+    # replaced segments are gone from the catalog
+    remaining = {i.index for i in cat.all_indices_with_info()}
+    assert not (set(segments) & remaining)
+    gen = cat.path(name)
+    assert count_index(spark, gen) == 25
+    # corpus-exact scores: compacted generation == a from-scratch build
+    ref_gen = str(idx_root) + "/_ref"
+    from elastic_indexer4s_spark.operators.build import build_index
+    build_index(spark, full_src, cfg, ref_gen)
+    got = [(r["score"],) for r in topk(spark, gen, ["spark_job"], 5).collect()]
+    ref = [(r["score"],) for r in topk(spark, ref_gen, ["spark_job"], 5).collect()]
+    assert got == ref
+
+
+def test_streaming_session_counts_stateful_resume(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from elastic_indexer4s_spark.streaming.incremental import (
+        streaming_session_counts,
+    )
+
+    in_dir, ck = str(tmp_path / "ev_in"), str(tmp_path / "ev_ck")
+    ev_schema = "user_id long, event_id long, ts timestamp"
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def drain(tag):
+        got = {}
+
+        def sink(batch_df, epoch_id):
+            for r in batch_df.collect():
+                got[r["user_id"]] = (r["n_sessions"], r["n_events"])
+
+        stream = spark.readStream.schema(ev_schema).parquet(in_dir)
+        out = streaming_session_counts(stream, gap_minutes=10)
+        q = (out.writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return got
+
+    (spark.createDataFrame(
+        [(1, 1, t0), (1, 2, t0 + timedelta(minutes=1)), (2, 3, t0)],
+        ev_schema).coalesce(1).write.mode("append").parquet(in_dir))
+    got1 = drain("a")
+    assert got1[1] == (1, 2)   # two events, one session
+    assert got1[2] == (1, 1)
+
+    # second drain from the SAME checkpoint: state survives the restart
+    (spark.createDataFrame(
+        [(1, 4, t0 + timedelta(minutes=31)),   # > gap -> new session
+         (2, 5, t0 + timedelta(minutes=5))],   # within gap -> same session
+        ev_schema).coalesce(1).write.mode("append").parquet(in_dir))
+    got2 = drain("b")
+    assert got2[1] == (2, 3)
+    assert got2[2] == (1, 2)
