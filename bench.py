@@ -36,7 +36,7 @@ QUERY_RUNS = int(os.environ.get("BENCH_QUERY_RUNS", "30"))
 BENCH_QUERIES = [
     "bm25_topk", "bm25_queryset", "doc_freq", "postings_lists",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "ann_brute_force", "lang_id", "quality",
+    "dedup_simhash", "ann_brute_force", "ann_ivf_topk", "lang_id", "quality",
     "fingerprint", "events_minutely", "tpch_q1", "top_customers",
 ]
 

@@ -227,15 +227,16 @@ def _bm25_scores(spark: SparkSession, sf_dir: str,
                  queries: DataFrame) -> DataFrame:
     """(query_id, doc_id, score): BM25 over the simple tokenizer, all
     matching docs.  Shared by the top-k variants."""
-    d = _docs(spark, sf_dir)
-    n_docs = d.count()
     # tf feeds both the df aggregate and the scoring join, dl feeds avg_dl
     # and the join — persist so the corpus is tokenized once, not three times.
     tf = q_term_frequencies(spark, sf_dir).persist()
     dl = q_doclen(spark, sf_dir).select("doc_id", "dl").persist()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    avg_dl_row = dl.agg(F.avg("dl")).collect()[0][0]
-    avg_dl = float(avg_dl_row or 0.0)
+    # one metadata job: doc count and avg_dl from the same cached frame
+    stats_row = dl.agg(F.count(F.lit(1)).alias("n"),
+                       F.avg("dl").alias("a")).collect()[0]
+    n_docs = int(stats_row["n"])
+    avg_dl = float(stats_row["a"] or 0.0)
     idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     contrib = (idf * F.col("tf") * (K1 + 1.0)
