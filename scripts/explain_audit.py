@@ -79,7 +79,12 @@ def main() -> None:
           "\n".join(rs))
 
     # --- 2. build path: compute-before-shuffle + partial aggregation -------
-    corpus = dc.corpus_shaped(dc._docs(spark, SF_DIR))  # noqa: SLF001
+    # raw reader (no _spread): the audit is about the engine's plan over a
+    # production table; the contract readers' parallelism-restoring
+    # repartition for single-row-group test files would add an exchange
+    # that a real multi-split table doesn't have.
+    corpus = dc.corpus_shaped(
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")))
     toks = tokenized_docs(corpus, cfg)
     plan = plan_of(toks)
     # sha2/tokenizer must appear BEFORE (= deeper than) the id-assign exchange:
@@ -112,6 +117,28 @@ def main() -> None:
     ok = n_ex == 1  # only the id-assign exchange
     check(f"doclen projection has exactly 1 exchange (id assignment), "
           f"found {n_ex}", ok, "")
+
+    # --- 4. dedup/similarity plan shapes (round 2) -------------------------
+    from elastic_indexer4s_spark.operators import dedup, similarity
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = plan_of(dedup.doc_shingles(docs))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    check(f"shingling is row-local: 0 exchanges (found {n_ex})",
+          n_ex == 0, "")
+
+    plan = plan_of(dedup.minhash_signature_array(docs))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    aggs = len(re.findall(r"\(\d+\) HashAggregate", plan))
+    check(f"minhash signatures: ONE doc-keyed exchange with map-side "
+          f"partials (found {n_ex} exchanges, {aggs} HashAggregates)",
+          n_ex == 1 and aggs >= 2, "")
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    plan = plan_of(similarity.ivf_assign(emb))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    check(f"IVF cell assignment is a pure projection: 0 exchanges "
+          f"(found {n_ex})", n_ex == 0, "")
 
     spark.stop()
     sys.exit(1 if FAIL else 0)
