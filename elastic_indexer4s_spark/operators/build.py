@@ -832,7 +832,10 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         # committed lineage that makes resume report success.
         if overlap:
             futures["lineage"] = pool.submit(_write_lineage)
-        postings = spark.read.parquet(FS.join(generation_dir, "postings"))
+        # explicit schema: an empty corpus writes a postings dataset with no
+        # part files, where schema inference would fail
+        postings = spark.read.schema(POSTINGS_DDL).parquet(
+            FS.join(generation_dir, "postings"))
         (postings.groupBy("term").agg(F.sum("df").alias("df"))
          .coalesce(1)
          .write.mode("overwrite")

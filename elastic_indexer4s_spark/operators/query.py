@@ -326,8 +326,11 @@ def topk(spark: SparkSession, generation_dir: str, query_terms: list[str],
 
 
 def count_index(spark: SparkSession, generation_dir: str) -> int:
-    """Match-all doc count (reference `EsOpsClientApi.scala:89-90`)."""
-    return spark.read.parquet(FS.join(generation_dir, "doclen")).count()
+    """Match-all doc count (reference `EsOpsClientApi.scala:89-90`).
+    The minimal explicit schema keeps this working on a zero-doc
+    generation (no part files to infer from)."""
+    return spark.read.schema("doc_id long").parquet(
+        FS.join(generation_dir, "doclen")).count()
 
 
 def serve_topk(spark: SparkSession, generation_dir: str,

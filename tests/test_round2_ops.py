@@ -361,3 +361,69 @@ def test_mapping_from_json_rejects():
                 '{"num_shards": 0}'):         # bad range
         with pytest.raises(MappingSettingError):
             mapping_from_json(bad)
+
+
+# ---------------------------------------------------------------------------
+# Edge cases: empty corpus, token-free docs, unicode
+# ---------------------------------------------------------------------------
+
+def test_build_empty_corpus(spark, tmp_path):
+    from elastic_indexer4s_spark.operators.query import count_index, topk
+    from elastic_indexer4s_spark.serving import LocalSearcher
+
+    gen = str(tmp_path / "gen_empty")
+    cfg = IndexConfig(num_shards=2, block_size=16)
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, "
+            "content string")
+    res = build_index(spark, empty, cfg, gen)
+    assert isinstance(res, RunResult), str(res)
+    stats = FS.read_json(FS.join(gen, "stats.json"))
+    assert stats["num_docs"] == 0 and stats["avg_dl"] == 0.0
+    assert count_index(spark, gen) == 0
+    assert topk(spark, gen, ["anything"], 5).collect() == []
+    assert LocalSearcher(gen).search(["anything"], 5) == []
+
+
+def test_build_tokenless_and_unicode_docs(spark, tmp_path):
+    from elastic_indexer4s_spark.operators.query import topk
+    from elastic_indexer4s_spark.serving import LocalSearcher
+
+    gen = str(tmp_path / "gen_edge")
+    cfg = IndexConfig(num_shards=2, block_size=16)
+    rows = [
+        ("r", "a.py", "c1", "py", "!!! *** !!!"),          # no tokens at all
+        ("r", "b.py", "c2", "py", ""),                     # empty content
+        ("r", "c.py", "c3", "py", "café 世界 snake_case"),
+        ("r", "d.py", "c4", "py", "x y z"),                # all below min_len
+        ("r", "e.py", "c5", "py", "normalToken snake_case"),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    res = build_index(spark, df, cfg, gen, verify_sha=True)
+    assert isinstance(res, RunResult), str(res)
+    # all 5 docs are indexed (token-free docs still live in doclen, dl=0)
+    doclen = spark.read.parquet(FS.join(gen, "doclen"))
+    assert doclen.count() == 5
+    dls = {r["path"]: r["dl"] for r in doclen.collect()}
+    assert dls["a.py"] == 0 and dls["b.py"] == 0 and dls["d.py"] == 0
+    # the analyzer strips non-ASCII (identifier charset), keeps snake parts
+    hits = topk(spark, gen, ["snake_case"], 5).collect()
+    assert {r["doc_id"] for r in hits} == \
+        {r["doc_id"] for r in doclen.filter(
+            F.col("path").isin("c.py", "e.py")).select("doc_id").collect()}
+    via_local = LocalSearcher(gen).search(["snake_case"], 5)
+    assert [(r["doc_id"], round(r["score"], 6)) for r in hits] == \
+        [(d, round(s, 6)) for d, s in via_local]
+
+
+def test_resume_noop_on_empty_then_metadata_ok(spark, tmp_path):
+    gen = str(tmp_path / "gen_empty_resume")
+    cfg = IndexConfig(num_shards=2, block_size=16)
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, "
+            "content string")
+    assert isinstance(build_index(spark, empty, cfg, gen), RunResult)
+    res2 = build_index(spark, empty, cfg, gen, resume=True)
+    assert isinstance(res2, RunResult), str(res2)
