@@ -110,6 +110,51 @@ def extract_features(df: DataFrame, n_features: int = 8,
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def frame_sample(df: DataFrame, n_frames: int = 4,
+                 strict: bool = False) -> DataFrame:
+    """Sample ``n_frames`` evenly-spaced frames per video payload →
+    (id, frame_idx, frame binary, n_bytes) — one output row per sampled
+    frame, via mapInPandas.
+
+    STUB decode (no libav in this container): a "frame" is the payload's
+    byte-slice for that index — deterministic, size-preserving, so the
+    distributed shape (row explosion factor, per-frame binary column,
+    batch memory bounds) is exactly what a real ffmpeg/PyAV sampler
+    produces.  ``strict=True`` raises where real codecs are required.
+    """
+    if strict and not decode_available():
+        raise NotImplementedError(
+            "video codecs not installed; frame_sample requires PyAV/ffmpeg "
+            "for real decoding (deterministic fake available with "
+            "strict=False)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, frames = [], [], []
+            for i, p in zip(pdf["id"], pdf["payload"]):
+                raw = bytes(p)
+                step = max(1, len(raw) // n_frames)
+                for f in range(n_frames):
+                    chunk = raw[f * step:(f + 1) * step]
+                    if not chunk:
+                        break
+                    ids.append(i)
+                    idxs.append(f)
+                    frames.append(chunk)
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": pd.Series(frames, dtype=object),
+                "n_bytes": pd.Series([len(f) for f in frames],
+                                     dtype="int64"),
+            })
+
+    return df.mapInPandas(
+        run, schema="id long, frame_idx int, frame binary, n_bytes long")
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """STUB resize: passes payloads through mapInPandas with the target dims
     recorded — the real implementation swaps `_fake_resize` for a codec call.

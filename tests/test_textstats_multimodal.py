@@ -92,3 +92,26 @@ def test_resize_stub_passthrough(docs):
     assert all(r["width"] == 224 and r["height"] == 128 for r in out)
     assert {bytes(r["payload"]) for r in out} == \
         {bytes(r["payload"]) for r in media.collect()}
+
+
+def test_frame_sample_stub(spark):
+    from elastic_indexer4s_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh" * 4), (2, "xy")], "doc_id long, text string")
+    media = multimodal.attach_payload(df, kind="video")
+    out = multimodal.frame_sample(media, n_frames=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    # 32-byte payload -> 4 frames of 8 bytes, reassembling the prefix
+    f1 = sorted(by_id[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in f1] == [0, 1, 2, 3]
+    assert all(r["n_bytes"] == 8 for r in f1)
+    assert b"".join(bytes(r["frame"]) for r in f1) == b"abcdefgh" * 4
+    # 2-byte payload -> only as many frames as there are bytes
+    f2 = sorted(by_id[2], key=lambda r: r["frame_idx"])
+    assert b"".join(bytes(r["frame"]) for r in f2) == b"xy"
+    assert len(f2) == 2
+    with pytest.raises(NotImplementedError):
+        multimodal.frame_sample(media, strict=True)
