@@ -481,6 +481,19 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.payload_meta(media)
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (stub byte-slice decode) — the slicing itself is
+    SQL-expressible, so the distributed mapInPandas path is hash-verified
+    against a DuckDB substring oracle; frames compare via md5."""
+    media = multimodal.attach_payload(_docs(spark, sf_dir), kind="video")
+    frames = multimodal.frame_sample(media, n_frames=4)
+    # frames compare in the hex domain (DuckDB cannot slice BLOBs): the
+    # md5 of the frame's hex encoding is computable on both sides
+    return frames.select(
+        "id", F.col("frame_idx").cast("long").alias("frame_idx"),
+        "n_bytes", F.md5(F.hex(F.col("frame"))).alias("frame_md5"))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/feature plumbing (stubbed codec). Rows-only check —
     the fake decode is Python-side, not SQL-expressible."""
@@ -932,6 +945,19 @@ SELECT doc_id AS id, 'image' AS kind,
        sha256(text) AS sha256
 FROM documents"""
 
+    oracles["multimodal_frames"] = """
+WITH p AS (SELECT doc_id AS id, hex(encode(text)) AS ph,
+                  octet_length(encode(text)) AS n FROM documents),
+s AS (SELECT id, ph, n, greatest(n // 4, 1) AS step FROM p),
+f AS (SELECT id, fi.f AS frame_idx,
+             substring(ph, (fi.f * step * 2 + 1)::INT, (step * 2)::INT)
+               AS fh
+      FROM s CROSS JOIN (SELECT unnest(range(4)) AS f) fi
+      WHERE fi.f * step < n)
+SELECT id, frame_idx::BIGINT AS frame_idx,
+       (length(fh) // 2)::BIGINT AS n_bytes, md5(fh) AS frame_md5
+FROM f"""
+
     oracles["events_minutely"] = """
 SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, event_type,
        count(*) AS n,
@@ -1014,6 +1040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
     "multimodal_features": q_multimodal_features,  # rows-only (stubbed codec)
     "events_minutely": q_events_minutely,
     "events_sessions": q_events_sessions,
