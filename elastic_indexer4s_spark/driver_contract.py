@@ -603,9 +603,9 @@ agg AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
 
 def _ivf_sql_parts(n_centroids: int = 8, dim: int = 64,
                    vec: str = "v") -> tuple[str, str, str]:
-    """(score defs, argmax CASE, per-cell score CASE) — DuckDB twins of
-    similarity._cell_scores/_argmax_case, identical literal constants and
-    left-assoc fp op order."""
+    """(score defs, argmax expr, per-cell score CASE) — DuckDB twins of
+    similarity._cell_scores/_argmax_expr, identical literal constants,
+    left-assoc fp op order and first-occurrence argmax tie-break."""
     import math
 
     from .operators.similarity import centroid_component
@@ -617,12 +617,8 @@ def _ivf_sql_parts(n_centroids: int = 8, dim: int = 64,
         terms = " + ".join(
             f"({vec}[{d + 1}] * {comps[d]!r})" for d in range(dim))
         defs.append(f"(0.0 + {terms}) * {inv!r} AS s{c}")
-    whens = []
-    for c in range(n_centroids):
-        cond = " AND ".join(
-            f"s{c} >= s{o}" for o in range(n_centroids) if o != c)
-        whens.append(f"WHEN {cond} THEN {c}")
-    argmax = "CASE " + " ".join(whens) + " END"
+    lv = "list_value(" + ", ".join(f"s{c}" for c in range(n_centroids)) + ")"
+    argmax = f"(list_position({lv}, list_max({lv})) - 1)"
     by_cell = "CASE cs.cell " + " ".join(
         f"WHEN {c} THEN s{c}" for c in range(n_centroids)) + " END"
     return ", ".join(defs), argmax, by_cell

@@ -84,38 +84,42 @@ def centroid_component(c: int, d: int) -> float:
     return ((h % 2001) - 1000) / 1000.0
 
 
-def _cell_scores(vec_col, n_centroids: int, dim: int) -> list:
+def _cell_scores(vec_col: str, n_centroids: int, dim: int) -> list:
     """Per-centroid direction scores dot(vec, centroid)/|centroid| as
     constant-folded column chains (left-assoc, matching the SQL oracle's
-    fp op order exactly)."""
+    fp op order exactly).
+
+    Each score is built as ONE ``F.expr`` SQL string: composing it from
+    ``dim`` individual Column operations costs 2·dim py4j round-trips per
+    centroid — measured ~3.5 s of pure driver-side plan CONSTRUCTION for
+    8×64; the parsed expression tree (and its fp semantics) is identical.
+    """
     import math
 
     out = []
     for c in range(n_centroids):
         comps = [centroid_component(c, d) for d in range(dim)]
         inv = 1.0 / math.sqrt(sum(x * x for x in comps))
-        dot = F.lit(0.0)
-        for d in range(dim):
-            dot = dot + F.element_at(vec_col, d + 1).cast("double") \
-                * F.lit(comps[d])
-        out.append(dot * F.lit(inv))
+        terms = " + ".join(
+            f"(CAST(element_at({vec_col}, {d + 1}) AS DOUBLE) * "
+            f"CAST('{comps[d]!r}' AS DOUBLE))"
+            for d in range(dim))
+        out.append(F.expr(f"(0.0D + {terms}) * CAST('{inv!r}' AS DOUBLE)"))
     return out
 
 
-def _argmax_case(scores: list):
-    """First index attaining the maximum, as a CASE chain — the same
-    first-occurrence tie-break a CASE chain gives the SQL oracle."""
-    expr = None
-    for c, sc in enumerate(scores):
-        cond = None
-        for o, so in enumerate(scores):
-            if o == c:
-                continue
-            cc = sc >= so
-            cond = cc if cond is None else (cond & cc)
-        expr = F.when(cond, F.lit(c)) if expr is None \
-            else expr.when(cond, F.lit(c))
-    return expr
+def _argmax_expr(score_cols: list):
+    """First index attaining the maximum:
+    ``array_position(arr, array_max(arr)) - 1``.
+
+    Same first-occurrence tie-break and exact-double comparison as the
+    DuckDB oracle's ``list_position(list, list_max(list)) - 1``.  An
+    O(K²) CASE chain was tried first and abandoned: with K score columns
+    inlined, Catalyst's constraint propagation walked the K·(K-1)
+    comparisons of ~500-node subtrees and spent ~10 s PLANNING a
+    2000-row join."""
+    arr = F.array(*score_cols)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
 
 def ivf_assign(vectors: DataFrame, n_centroids: int = 8, dim: int = 64,
@@ -127,9 +131,17 @@ def ivf_assign(vectors: DataFrame, n_centroids: int = 8, dim: int = 64,
     pruning key of the inverted file.  At production scale the same
     operator runs with learned centroids supplied as literals; the
     deterministic family keeps the whole path cross-engine verifiable."""
-    scores = _cell_scores(F.col(vec_col), n_centroids, dim)
-    return vectors.select(F.col(id_col), F.col(vec_col),
-                          _argmax_case(scores).alias("cell"))
+    scores = _cell_scores(vec_col, n_centroids, dim)
+    # projection boundary: score each centroid ONCE into a named column,
+    # argmax over the column refs — inlining the 512-node score chains into
+    # the O(K²) CASE comparisons exploded plan size ~100× (measured 41 s
+    # at 5k vectors; this shape runs in ~1 s)
+    scored = vectors.select(
+        F.col(id_col), F.col(vec_col),
+        *[s.alias(f"_s{c}") for c, s in enumerate(scores)])
+    argmax = _argmax_expr([F.col(f"_s{c}") for c in range(n_centroids)])
+    return scored.select(F.col(id_col), F.col(vec_col),
+                         argmax.alias("cell"))
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
@@ -145,13 +157,15 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     as a physical partition key the join prunes to the probed partitions.
     """
     vb = ivf_assign(vectors, n_centroids, dim, id_col, vec_col)
-    qscores = _cell_scores(F.col(vec_col), n_centroids, dim)
-    cells = F.array(*[
-        F.struct(F.lit(c).alias("cell"), s.alias("cs"))
-        for c, s in enumerate(qscores)])
-    qcells = (queries.select(
+    qscores = _cell_scores(vec_col, n_centroids, dim)
+    qscored = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv"),
-        F.explode(cells).alias("_c"))
+        *[s.alias(f"_s{c}") for c, s in enumerate(qscores)])
+    cells = F.array(*[
+        F.struct(F.lit(c).alias("cell"), F.col(f"_s{c}").alias("cs"))
+        for c in range(n_centroids)])
+    qcells = (qscored.select(
+        F.col(query_id_col), "_qv", F.explode(cells).alias("_c"))
         .select(query_id_col, "_qv",
                 F.col("_c.cell").alias("cell"), F.col("_c.cs").alias("_cs")))
     wq = Window.partitionBy(query_id_col).orderBy(
