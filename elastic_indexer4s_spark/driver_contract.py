@@ -647,6 +647,19 @@ def _lsh_bucket_sql(n_planes: int = 4, dim: int = 64) -> str:
 _COS = ("list_dot_product({a}, {b}) / nullif(sqrt(list_dot_product({a}, {a}))"
         " * sqrt(list_dot_product({b}, {b})), 0.0)")
 
+
+def _pair_cos_chain(a: str, b: str, dim: int) -> str:
+    """Explicit left-assoc pair-cosine chain over two DOUBLE[] columns —
+    bit-identical fp order to veckernel.cosine_rows (dot, |a|^2, |b|^2 each
+    accumulate d=1..dim left-assoc from 0.0; cos = dot/(sqrt*sqrt)).  Used
+    where the oracle must RANK by the exact score (topk queries) so that
+    Spark's per-partition partial prune is provably lossless."""
+    dot = " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(1, dim + 1))
+    na = " + ".join(f"({a}[{i}] * {a}[{i}])" for i in range(1, dim + 1))
+    nb = " + ".join(f"({b}[{i}] * {b}[{i}])" for i in range(1, dim + 1))
+    return (f"((0.0 + {dot}) / nullif(sqrt(0.0 + {na}) * "
+            f"sqrt(0.0 + {nb}), 0.0))")
+
 _MARKER_VALUES = ", ".join(f"('{l}', '{t}')" for l, t in __import__(
     "elastic_indexer4s_spark.operators.textstats",
     fromlist=["LANG_MARKERS"]).LANG_MARKERS)
@@ -833,17 +846,18 @@ pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35"""
 
-    cos_qv = _COS.format(a="q.qv", b="e.v")
+    cos_qv = _pair_cos_chain("q.qv", "e.v", 64)
     oracles["ann_brute_force"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-scored AS (SELECT q.query_id, e.vec_id, round({cos_qv}, 6) AS cosine
+scored AS (SELECT q.query_id, e.vec_id, {cos_qv} AS s
            FROM e CROSS JOIN q),
-r AS (SELECT query_id, vec_id, cosine,
+r AS (SELECT query_id, vec_id, s,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, vec_id) AS rank
+                                ORDER BY s DESC, vec_id) AS rank
       FROM scored)
-SELECT query_id, rank::BIGINT AS rank, vec_id, cosine FROM r WHERE rank <= 10"""
+SELECT query_id, rank::BIGINT AS rank, vec_id, round(s, 6) AS cosine
+FROM r WHERE rank <= 10"""
 
     oracles["ann_lsh"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -857,7 +871,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 d AS (SELECT vec_id, {ivf_defs} FROM e)
 SELECT vec_id, ({ivf_argmax})::BIGINT AS cell FROM d"""
 
-    cos_pv = _COS.format(a="probe.qv", b="cells.v")
+    cos_pv = _pair_cos_chain("probe.qv", "cells.v", 64)
     oracles["ann_ivf_topk"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 d AS (SELECT vec_id, v, {ivf_defs} FROM e),
@@ -870,14 +884,13 @@ probe AS (SELECT query_id, qv, cell FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cscore DESC, cell) AS rn FROM qc)
   WHERE rn <= 2),
-scored AS (SELECT probe.query_id, cells.vec_id,
-                  round({cos_pv}, 6) AS cosine
+scored AS (SELECT probe.query_id, cells.vec_id, {cos_pv} AS s
            FROM probe JOIN cells USING (cell)),
-r AS (SELECT query_id, vec_id, cosine,
+r AS (SELECT query_id, vec_id, s,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, vec_id) AS rank
+                                ORDER BY s DESC, vec_id) AS rank
       FROM scored)
-SELECT query_id, rank::BIGINT AS rank, vec_id, cosine FROM r
+SELECT query_id, rank::BIGINT AS rank, vec_id, round(s, 6) AS cosine FROM r
 WHERE rank <= 10"""
 
     oracles["lang_id"] = f"""
