@@ -495,11 +495,21 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode/feature plumbing (stubbed codec). Rows-only check —
-    the fake decode is Python-side, not SQL-expressible."""
+    """mapInPandas decode/feature plumbing (stubbed codec), hash-verified:
+    the fake decode is integer arithmetic on the first 8 payload bytes and
+    the min/max feature components are exact byte values, so a DuckDB twin
+    computes them from hex(encode(text)) (HUGEINT hex parse).  The mean/std
+    feature components stay pytest-only — their multi-thousand-element float
+    summation order is engine-specific and a 6-dp round cannot mask it."""
     media = multimodal.attach_payload(_docs(spark, sf_dir))
-    return multimodal.extract_features(media).select(
-        "id", "width", "height", "channels")
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "id", F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.element_at("feature", 3).alias("f_min"),
+        F.element_at("feature", 4).alias("f_max"))
 
 
 def q_events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,6 +977,30 @@ SELECT id, frame_idx::BIGINT AS frame_idx,
        (length(fh) // 2)::BIGINT AS n_bytes, md5(fh) AS frame_md5
 FROM f"""
 
+    # first-8-bytes big-endian value can exceed BIGINT: parse the 16 hex
+    # chars (zero-padded, = ljust(8, b'\0')) digit-by-digit into a HUGEINT
+    hex16 = " + ".join(
+        f"((strpos('0123456789ABCDEF', substr(h16, {i}, 1)) - 1)::HUGEINT"
+        f" * {16 ** (16 - i)}::HUGEINT)" for i in range(1, 17))
+    byte_val = ("((strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1)"
+                " * 16 + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1))"
+                " - 1))")
+    oracles["multimodal_features"] = f"""
+WITH m AS (SELECT doc_id AS id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS nb FROM documents),
+h AS (SELECT id, hx, nb, rpad(substr(hx, 1, 16), 16, '0') AS h16 FROM m),
+hv AS (SELECT id, hx, nb, ({hex16}) AS hval FROM h),
+b AS (SELECT id, unnest(generate_series(1, nb)) AS i, hx FROM hv),
+bs AS (SELECT id, min({byte_val}) AS bmin, max({byte_val}) AS bmax
+       FROM b GROUP BY id)
+SELECT hv.id,
+       (16 + (hval % 1009) % 512)::BIGINT AS width,
+       (16 + (hval // 1009) % 512)::BIGINT AS height,
+       3::BIGINT AS channels, 1::BIGINT AS n_frames,
+       coalesce(bs.bmin, 0)::DOUBLE AS f_min,
+       coalesce(bs.bmax, 0)::DOUBLE AS f_max
+FROM hv LEFT JOIN bs ON hv.id = bs.id"""
+
     oracles["events_minutely"] = """
 SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, event_type,
        count(*) AS n,
@@ -1050,7 +1084,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
-    "multimodal_features": q_multimodal_features,  # rows-only (stubbed codec)
+    "multimodal_features": q_multimodal_features,
     "events_minutely": q_events_minutely,
     "events_sessions": q_events_sessions,
     "tpch_q1": q_tpch_q1,
