@@ -33,8 +33,15 @@ from pyarrow import fs as pafs
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
-#: scheme -> FileSystem cache (FS handles are heavyweight for remote stores)
-_FS_CACHE: dict[str, pafs.FileSystem] = {}
+#: "scheme://authority" -> (FileSystem, style) cache — keyed by authority so
+#: distinct hdfs namenodes / s3 buckets-in-other-regions never share a
+#: client; `style` records how the inner path must be derived on cache hits
+#: ("from_uri" mirrors pyarrow's normalization, "fsspec" keeps the raw rest).
+_FS_CACHE: dict[str, tuple[pafs.FileSystem, str]] = {}
+
+#: schemes where pyarrow keeps the bucket as the first path segment
+#: (from_uri("s3://bucket/a") -> (S3FileSystem, "bucket/a"))
+_BUCKET_IN_PATH = {"s3", "s3a", "gs", "gcs"}
 
 
 def _fsspec_fs(scheme: str) -> pafs.FileSystem:
@@ -43,30 +50,45 @@ def _fsspec_fs(scheme: str) -> pafs.FileSystem:
     return pafs.PyFileSystem(pafs.FSSpecHandler(fsspec.filesystem(scheme)))
 
 
+def _inner_path(scheme: str, netloc: str, urlpath: str, rest: str,
+                style: str) -> str:
+    """Re-derive the fs-internal path the way the cached client's creation
+    call did: from_uri strips the authority for authority-bearing schemes
+    (hdfs://host:8020/a/b -> "/a/b") but keeps the bucket for s3-style
+    stores; the fsspec fallback historically keeps the raw rest."""
+    if style == "fsspec":
+        return rest
+    if scheme in _BUCKET_IN_PATH:
+        return netloc + urlpath
+    return urlpath or "/"
+
+
 def resolve(path: str) -> tuple[pafs.FileSystem, str]:
     """path/URI → (FileSystem, path-inside-that-filesystem)."""
     m = _SCHEME_RE.match(path)
     if not m:
-        fs = _FS_CACHE.get("")
-        if fs is None:
-            fs = _FS_CACHE[""] = pafs.LocalFileSystem()
-        return fs, path
-    scheme = m.group(0)[:-3].lower()
-    fs = _FS_CACHE.get(scheme)
-    if fs is not None:
-        # from_uri also normalizes the path; re-derive it cheaply
-        rest = path[m.end():]
-        if scheme == "file":
-            return fs, "/" + rest.lstrip("/")
-        # strip authority for non-file schemes (bucket stays in the path
-        # for s3-style URIs per pyarrow's own convention)
-        return fs, rest
+        hit = _FS_CACHE.get("")
+        if hit is None:
+            hit = _FS_CACHE[""] = (pafs.LocalFileSystem(), "local")
+        return hit[0], path
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(path)
+    scheme = parts.scheme.lower()
+    key = f"{scheme}://{parts.netloc}"
+    hit = _FS_CACHE.get(key)
+    if hit is not None:
+        fs, style = hit
+        return fs, _inner_path(scheme, parts.netloc, parts.path,
+                               path[m.end():], style)
     try:
         fs, inner = pafs.FileSystem.from_uri(path)
+        style = "from_uri"
     except (pafs.lib.ArrowInvalid, OSError, ValueError):
         fs = _fsspec_fs(scheme)
         inner = path[m.end():]
-    _FS_CACHE[scheme] = fs
+        style = "fsspec"
+    _FS_CACHE[key] = (fs, style)
     return fs, inner
 
 

@@ -858,9 +858,17 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
             row = lin.agg(F.sum("doc_count").alias("n"),
                           F.sum("dl_sum").alias("s")).collect()[0]
             n, s = int(row["n"] or 0), int(row["s"] or 0)
+        # skipped_docs comes from an accumulator updated inside a
+        # transformation: task retries / speculative re-runs / cache-loss
+        # recomputation re-apply increments, so it can OVERCOUNT.  num_docs
+        # is exact (from committed lineage).  An exact skip ledger would
+        # need a second full source scan (source rows are also dropped by
+        # the pre-id null filter, so source_count - num_docs != analyzer
+        # skips); the flag makes the semantics explicit to consumers.
         stats = {"num_docs": n,
                  "avg_dl": (float(s) / n) if n else 0.0,
-                 "skipped_docs": int(skip_acc.value)}
+                 "skipped_docs": int(skip_acc.value),
+                 "skipped_docs_exact": False}
         FS.write_json(FS.join(generation_dir, "stats.json"), stats)
         skipped = (f" ({stats['skipped_docs']} skipped)"
                    if stats["skipped_docs"] else "")

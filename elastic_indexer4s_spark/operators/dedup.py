@@ -27,11 +27,15 @@ Scale design (1000-executor / 100 TB):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_double_longs, md5_long
 from ..functions.tokenizer import simple_tokens_expr
+
+_LOG = logging.getLogger("ei4s.dedup")
 
 
 # ---------------------------------------------------------------------------
@@ -96,7 +100,8 @@ def word_ngrams(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.8,
-                        max_shingle_df: int | None = 10_000) -> DataFrame:
+                        max_shingle_df: int | None = 10_000,
+                        observer=None) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact n-gram Jaccard >= threshold.
 
     inter-counts come from a self-join on the shingle; union = |A|+|B|-inter.
@@ -105,11 +110,29 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     O(df²) join rows while carrying ~zero dedup signal; dropping shingles
     with df > 10k changes Jaccard by < 1e-4 on any realistic corpus but
     bounds the worst candidate bucket).  Pass ``None`` to disable.
+
+    EXACTNESS CAVEAT: when the guard fires, docs sharing only pruned
+    shingles stop pairing and Jaccard denominators shift (sizes are
+    computed post-prune so inter/union stay consistent) — results diverge
+    from exact Jaccard.  ``observer`` makes that observable: a callable
+    invoked eagerly with ``{"op", "pruned_shingles", "max_shingle_df"}``
+    (one extra small aggregation job, which is why it is opt-in rather
+    than always-on); it also logs a warning when anything was pruned.
     """
     sh = word_ngrams(df, id_col, text_col, n)
     if max_shingle_df is not None:
         hot = (sh.groupBy("ngram").agg(F.count(F.lit(1)).alias("_df"))
                .filter(F.col("_df") > max_shingle_df).select("ngram"))
+        if observer is not None:
+            hot = hot.persist()
+            n_hot = hot.count()
+            if n_hot:
+                _LOG.warning(
+                    "ngram_jaccard skew guard pruned %d hot shingles "
+                    "(df > %d): output diverges from exact Jaccard for "
+                    "docs sharing only those shingles", n_hot, max_shingle_df)
+            observer({"op": "ngram_jaccard", "pruned_shingles": n_hot,
+                      "max_shingle_df": max_shingle_df})
         sh = sh.join(F.broadcast(hot), "ngram", "left_anti")
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     else:
@@ -183,7 +206,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 16,
                       bands: int = 4, n: int = 3,
                       min_est_sim: float = 0.5,
-                      max_bucket_size: int | None = 10_000) -> DataFrame:
+                      max_bucket_size: int | None = 10_000,
+                      observer=None) -> DataFrame:
     """LSH candidate pairs + estimated Jaccard (fraction of matching minhashes).
 
     Bucket = the band's ordered signature slice; candidates are pairs
@@ -197,6 +221,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     the self-join; buckets larger than the cap are dropped — their members
     still pair through their other ``bands-1`` bands unless those are
     equally degenerate.  Pass ``None`` to disable.
+
+    When the cap fires, pairs living ONLY in dropped buckets silently
+    vanish; ``observer`` (opt-in — it costs one extra bucket-count job)
+    receives ``{"op", "dropped_buckets", "max_bucket_size"}`` eagerly and
+    a warning is logged when any bucket was dropped.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature_array(df, id_col, text_col, num_hashes, n)
@@ -212,6 +241,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                             rows_per_band),
                     lambda s: s.cast("string")), ",")))
     if max_bucket_size is not None:
+        if observer is not None:
+            dropped = (band_sig.groupBy("band", "bucket")
+                       .agg(F.count(F.lit(1)).alias("_sz"))
+                       .filter(F.col("_sz") > max_bucket_size).count())
+            if dropped:
+                _LOG.warning(
+                    "minhash_lsh skew guard dropped %d over-cap buckets "
+                    "(> %d members): pairs living only in those buckets "
+                    "are not emitted", dropped, max_bucket_size)
+            observer({"op": "minhash_lsh", "dropped_buckets": dropped,
+                      "max_bucket_size": max_bucket_size})
         # ONE exchange total for candidate generation: group each (band,
         # bucket) into a member list (signatures ride along), drop
         # singletons and over-cap buckets BEFORE pair explosion, then

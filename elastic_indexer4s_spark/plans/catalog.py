@@ -82,6 +82,22 @@ class GenerationCatalog:
             members.append(index)
         self._write_aliases(a)
 
+    def set_alias(self, alias: str, indices: list[str]) -> None:
+        """Replace the alias' ENTIRE membership in one atomic manifest
+        publish — the engine's analog of ES's single atomic alias-update
+        request carrying both add and remove actions
+        (`EsOpsClientApi.scala:83-87` issues them as one API call).
+        Composing the membership in memory and renaming once means a
+        concurrent reader sees either the old set or the new set, never a
+        mixture (an add followed by N separate removes exposes old+new
+        simultaneously — double counting every doc in between)."""
+        a = self._read_aliases()
+        if indices:
+            a[alias] = list(dict.fromkeys(indices))
+        else:
+            a.pop(alias, None)
+        self._write_aliases(a)
+
     def remove_alias(self, alias: str, index: str) -> None:
         """`EsOpsClientApi.scala:86-87` removeAliasFromIndex."""
         a = self._read_aliases()

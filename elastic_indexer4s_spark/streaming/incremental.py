@@ -102,10 +102,14 @@ def compact_segments(spark: SparkSession, index_root: str,
 
     Per-segment BM25 stats (df, avg_dl) are segment-local approximations;
     the compacted generation restores corpus-exact scores.  Publication is
-    atomic: the compacted generation is built first, then the alias flips
-    to it and the replaced segments are dropped (their doc ids were
-    segment-local, so nothing references them once unaliased).  Returns
-    the compacted generation name.
+    atomic: the compacted generation is built first, then the alias's
+    membership is REPLACED in one manifest rename (`catalog.set_alias`) —
+    a concurrent `topk_multi` sees either the old segment set or the
+    compacted generation, never both (an incremental add+N removes would
+    expose old+new simultaneously, double-counting every document).  The
+    replaced segments are deleted only after they are unaliased (their doc
+    ids were segment-local, so nothing references them once unaliased).
+    Returns the compacted generation name.
     """
     from ..results import RunResult
 
@@ -116,10 +120,9 @@ def compact_segments(spark: SparkSession, index_root: str,
     if not isinstance(res, RunResult):
         raise RuntimeError(f"compaction build failed: {res}")
     cat.register(name)
-    cat.add_alias(alias, name)
-    for seg in old:
-        cat.remove_alias(alias, seg)
-        if delete_old:
+    cat.set_alias(alias, [name])
+    if delete_old:
+        for seg in old:
             cat.delete_index(seg)
     return name
 

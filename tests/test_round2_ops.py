@@ -52,6 +52,35 @@ def test_fs_roundtrip(tmp_path):
     assert not FS.exists(FS.join(root, "a2"))
 
 
+def test_fs_cached_resolve_strips_authority(tmp_path):
+    """Cache hits must re-derive the inner path the way from_uri does:
+    hdfs://host:8020/a/b -> "/a/b" on EVERY call (the round-2 cache returned
+    "host:8020/a/b" on hits), while s3-style schemes keep the bucket in the
+    path; distinct authorities must not share a cached client."""
+    sentinel_h, sentinel_s = object(), object()
+    FS._FS_CACHE["hdfs://host:8020"] = (sentinel_h, "from_uri")
+    FS._FS_CACHE["s3://bucketa"] = (sentinel_s, "from_uri")
+    try:
+        fs, p = FS.resolve("hdfs://host:8020/a/b")
+        assert fs is sentinel_h and p == "/a/b"
+        fs, p = FS.resolve("hdfs://host:8020/a/b")  # stable across hits
+        assert fs is sentinel_h and p == "/a/b"
+        fs, p = FS.resolve("s3://bucketa/k/obj")
+        assert fs is sentinel_s and p == "bucketa/k/obj"
+        # a different authority must NOT reuse the cached client
+        assert FS._FS_CACHE.get("hdfs://other:8020") is None
+        assert "hdfs://host:8020" != "hdfs://other:8020"
+    finally:
+        FS._FS_CACHE.pop("hdfs://host:8020", None)
+        FS._FS_CACHE.pop("s3://bucketa", None)
+    # file:// path derivation is identical on miss and hit
+    root = f"file://{tmp_path}/authfs"
+    FS.mkdirs(root)
+    _, p1 = FS.resolve(FS.join(root, "x"))
+    _, p2 = FS.resolve(FS.join(root, "x"))
+    assert p1 == p2 == f"{tmp_path}/authfs/x"
+
+
 def test_build_and_serve_on_file_uri(spark, tmp_path):
     """End-to-end build + LocalSearcher against a file://-prefixed root:
     nothing in the build/query/serving path may assume bare POSIX paths."""
