@@ -112,6 +112,19 @@ def main() -> None:
     timings["bm25_query_p50"] = round(p50, 3)
     timings["bm25_query_p99"] = round(p99, 3)
 
+    # --- worst-case WAND: stopword-grade conjunctive query ----------------
+    # three terms each in ~80% of docs (near-zero block-max skip
+    # opportunity, maximal frontier churn) under AND mode at k=50 —
+    # the p99-defining query shape, hash-verified as engine_bm25_wand_and
+    worst = ["batch", "scan", "data"]
+    serve_topk(spark, gen, worst, k=50, wand=True, mode="and")
+    lat_w = []
+    for _ in range(5):
+        tq = time.monotonic()
+        serve_topk(spark, gen, worst, k=50, wand=True, mode="and")
+        lat_w.append(time.monotonic() - tq)
+    timings["bm25_wand_worst"] = round(sorted(lat_w)[len(lat_w) // 2], 3)
+
     # --- serving-tier latency (LocalSearcher: pyarrow, no Spark job) ------
     from elastic_indexer4s_spark.serving import LocalSearcher
     searcher = LocalSearcher(gen)

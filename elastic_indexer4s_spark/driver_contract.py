@@ -75,6 +75,9 @@ QUERY_SET: list[tuple[int, str]] = [
     (4, "nosuchterm"),
 ]
 FLAGSHIP_TERMS = ["spark", "join"]
+# stopword-grade terms (each in ~80% of docs under the code tokenizer):
+# the WAND worst case — near-zero skip opportunity, maximal frontier churn
+WORST_TERMS = ["batch", "scan", "data"]
 
 # lifecycle catalog fixture (FIXTURES.md §3): generation, aliases csv,
 # creation_time, doc_count — literal on both sides.
@@ -106,7 +109,12 @@ def _spread(df: DataFrame) -> DataFrame:
     repartition is applied only when the scan has fewer partitions than
     cores; the exchange ships the (tiny) test table once."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+    # metadata-only check: a df.rdd.getNumPartitions probe forces an
+    # RDD conversion per query (a fixed driver cost); the file count is
+    # listed from the catalog and bounds scan parallelism from below —
+    # with >= cores files the scan parallelizes on its own, and row-group
+    # splitting can only add partitions.
+    return df.repartition(p) if len(df.inputFiles()) < p else df
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,14 +231,24 @@ def q_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (F.col("df") + 0.5)), 6).alias("idf")))
 
 
+_BM25_PERSISTED: list[DataFrame] = []
+
+
 def _bm25_scores(spark: SparkSession, sf_dir: str,
                  queries: DataFrame) -> DataFrame:
     """(query_id, doc_id, score): BM25 over the simple tokenizer, all
     matching docs.  Shared by the top-k variants."""
+    # the previous invocation's cached frames were fully consumed when its
+    # result was collected — release them before pinning new ones (the
+    # contract driver runs queries sequentially; without this the executor
+    # storage slowly fills with dead tokenized corpora)
+    while _BM25_PERSISTED:
+        _BM25_PERSISTED.pop().unpersist()
     # tf feeds both the df aggregate and the scoring join, dl feeds avg_dl
     # and the join — persist so the corpus is tokenized once, not three times.
     tf = q_term_frequencies(spark, sf_dir).persist()
     dl = q_doclen(spark, sf_dir).select("doc_id", "dl").persist()
+    _BM25_PERSISTED.extend([tf, dl])
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # one metadata job: doc count and avg_dl from the same cached frame
     stats_row = dl.agg(F.count(F.lit(1)).alias("n"),
@@ -345,6 +363,23 @@ def q_engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("score", 6).alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(10))
+
+
+def q_engine_bm25_wand_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND worst case: three stopword-grade terms (df ~0.8N each) under
+    conjunctive (AND) mode at k=50 — the p99-defining query shape (block-max
+    upper bounds barely prune when every posting list covers most of the
+    corpus, so this exercises full frontier advancement + the require_all
+    gate).  Same deep-margin re-selection discipline as q_engine_bm25_wand."""
+    gen = _generation_for(spark, sf_dir)
+    res = engine_topk(spark, gen, WORST_TERMS, k=200, wand=True, mode="and")
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
+    return (res.join(ids, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(50))
 
 
 def q_engine_bm25_local(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,6 +793,18 @@ SELECT doc_id, score FROM agg"""
 WITH {_bm25_sql(_flagship_values(), CODE_TOK)}
 SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 10"""
 
+    # WAND worst case: 3 stopword-grade terms, conjunctive, top-50 on the
+    # same (rounded score, doc_id) key the Spark side re-selects on
+    worst_values = ("(VALUES " + ", ".join(f"(0, '{t}')" for t in WORST_TERMS)
+                    + ") AS qs(query_id, term)")
+    oracles["engine_bm25_wand_and"] = f"""
+WITH {_bm25_sql(worst_values, CODE_TOK)},
+cnt AS (SELECT query_id, doc_id, count(*) AS nt
+        FROM scored GROUP BY query_id, doc_id)
+SELECT agg.doc_id, agg.score FROM agg JOIN cnt USING (query_id, doc_id)
+WHERE cnt.nt = {len(WORST_TERMS)}
+ORDER BY agg.score DESC, agg.doc_id LIMIT 50"""
+
     # conjunctive: keep docs matched by ALL query terms (scored has exactly
     # one row per (query_id, doc_id, term), so count(*) = matched terms)
     oracles["engine_bm25_and"] = f"""
@@ -1065,6 +1112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_bm25_scores": q_engine_bm25_scores,
     "engine_bm25_and": q_engine_bm25_and,
     "engine_bm25_wand": q_engine_bm25_wand,
+    "engine_bm25_wand_and": q_engine_bm25_wand_and,
     "engine_bm25_local": q_engine_bm25_local,
     "lifecycle_retention": q_lifecycle_retention,
     "lifecycle_alias_gate": q_lifecycle_alias_gate,
