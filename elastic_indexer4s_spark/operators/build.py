@@ -643,7 +643,8 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
                 resume: bool = False,
                 mapside_tf: bool = True,
                 analyzer: Callable[[str], list] | None = None,
-                log_every: float | None = None) -> RunResult | IndexError:
+                log_every: float | None = None,
+                snapshot=None) -> RunResult | IndexError:
     """Build one index generation.  Returns the stage-railway result
     (reference `IndexLogic.scala:23-29`: on failure, the stages that already
     succeeded are preserved).
@@ -664,8 +665,29 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
     ``analyzer`` — caller-custom per-row analyzer (reference RequestBuilder
     / Decider pairing); ``log_every`` overrides ``cfg.log_every`` for the
     interval throughput log (A5).
+
+    ``snapshot`` — a :class:`sources.snapshot.TableSnapshot` pinning the
+    table version ``source_df`` was opened from.  The build embeds it in
+    the generation (``snapshot.json``) and stamps its id into every
+    lineage row; a later ``resume=True`` against a DIFFERENT snapshot of
+    the table raises :class:`SnapshotDriftError` instead of silently
+    mixing two table versions — use :func:`resume_build_from_snapshot`
+    to resume against exactly the pinned input (Iceberg-checkpoint
+    semantics per the north rule; for plain parquet dirs the pinned file
+    list gives the same isolation for appends and detects rewrites).
     """
     t0 = time.monotonic()
+    from ..sources.snapshot import (SnapshotDriftError, pinned_snapshot,
+                                    write_pinned_snapshot)
+    if resume and snapshot is not None:
+        pinned = pinned_snapshot(generation_dir)
+        if pinned is not None and pinned.snapshot_id != snapshot.snapshot_id:
+            raise SnapshotDriftError(
+                f"generation {generation_dir!r} is pinned to snapshot "
+                f"{pinned.snapshot_id} of {pinned.table!r} but resume was "
+                f"given snapshot {snapshot.snapshot_id}; resume with "
+                "resume_build_from_snapshot() to finish the pinned build, "
+                "or build a NEW generation for the new snapshot")
     from ..metrics import ThroughputMeter
     meter = ThroughputMeter(spark.sparkContext,
                             interval=log_every or cfg.log_every)
@@ -756,6 +778,8 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
     def stage_create() -> StageSucceeded:
         FS.mkdirs(generation_dir)
         FS.write_text(FS.join(generation_dir, "_meta.json"), cfg.to_json())
+        if snapshot is not None:
+            write_pinned_snapshot(generation_dir, snapshot)
         # Resume GC: drop shard partitions whose documents left the source —
         # dynamic partition overwrite never deletes unmatched partitions, and
         # a stale shard would otherwise keep being served while dropping out
@@ -918,13 +942,15 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
                         FS.join(post_root, base, finfo.base_name))
                     tc_nb[0] += meta.num_rows
                     tc_nb[1] += int(finfo.size)
-        rows = [(s, dc, dl, fp, *pstats.get(s, (0, 0)))
+        sid = snapshot.snapshot_id if snapshot is not None else None
+        rows = [(s, dc, dl, fp, *pstats.get(s, (0, 0)), sid)
                 for s, dc, dl, fp in drows]
         lineage_totals["totals"] = (sum(r[1] for r in rows),
                                     sum(r[2] for r in rows))
         (spark.createDataFrame(
             rows, "shard int, doc_count bigint, dl_sum bigint, "
-                  "input_fingerprint bigint, term_count bigint, bytes bigint")
+                  "input_fingerprint bigint, term_count bigint, bytes bigint, "
+                  "snapshot_id bigint")
          .coalesce(1).write.mode("overwrite")
          .parquet(FS.join(generation_dir, "lineage_tmp")))
 
@@ -956,6 +982,36 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
         result.succeeded_stages.append(
             StageSucceeded(f"Build took {elapsed:.2f}s"))
     return result
+
+
+def resume_build_from_snapshot(spark: SparkSession, cfg: IndexConfig,
+                               generation_dir: str,
+                               shape=None, **build_kw):
+    """Resume a pinned build against EXACTLY the input it originally saw.
+
+    Loads the generation's ``snapshot.json``, re-opens the pinned table
+    version (verifying the pinned files still exist — vanished/rewritten
+    files raise :class:`SnapshotDriftError`), applies the caller's optional
+    ``shape`` adapter (e.g. driver_contract.corpus_shaped) and re-enters
+    :func:`build_index` with ``resume=True``.  Files appended to the table
+    after the original capture are invisible by construction, so the
+    resumed shards fingerprint-match the committed lineage even on a table
+    that kept committing — the Iceberg-snapshot-checkpoint semantics the
+    north rule asks for.
+    """
+    from ..sources.snapshot import open_snapshot, pinned_snapshot
+
+    snap = pinned_snapshot(generation_dir)
+    if snap is None:
+        raise FileNotFoundError(
+            f"{generation_dir!r} has no snapshot.json — it was not built "
+            "with a pinned snapshot; resume with build_index(resume=True) "
+            "and the current source instead")
+    df = open_snapshot(spark, snap)
+    if shape is not None:
+        df = shape(df)
+    return build_index(spark, df, cfg, generation_dir, resume=True,
+                       snapshot=snap, **build_kw)
 
 
 def verify_content_sha(spark: SparkSession, source_df: DataFrame,
