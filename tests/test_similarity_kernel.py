@@ -110,3 +110,16 @@ def test_ivf_topk_multi_partition_stable(spark, emb64):
                    emb64.repartition(9), q, k=5, n_centroids=8,
                    n_probe=2, dim=64).collect())
     assert a == b and len(a) == 10
+
+
+def test_ivf_topk_join_path_matches_fused(spark, emb64):
+    """A pre-materialized inverted file (vectors already carrying `cell`)
+    must return exactly what the fused single-pass path returns."""
+    q = emb64.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    fused = sorted(map(tuple, similarity.ivf_topk(
+        emb64, q, k=5, n_centroids=8, n_probe=2, dim=64).collect()))
+    vb = similarity.ivf_assign(emb64, n_centroids=8, dim=64)
+    joined = sorted(map(tuple, similarity.ivf_topk(
+        vb, q, k=5, n_centroids=8, n_probe=2, dim=64).collect()))
+    assert fused == joined and len(fused) == 15
