@@ -211,6 +211,47 @@ def _tf_schema(df: DataFrame):
         T.StructField("tfs", T.ArrayType(T.IntegerType()))])
 
 
+def _tf_reduce_core(n: int, toks):
+    """token ListArray (n rows) → (dl np.int64[n], terms ListArray,
+    tfs ListArray): dictionary-encode + one lexsort + run-length reduce —
+    zero per-row Python.  Shared by the per-doc and distinct-content
+    reduction paths."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flat = toks.flatten()
+    vl = toks.value_lengths()
+    if vl.null_count:
+        vl = pc.fill_null(vl, 0)
+    lens = np.asarray(vl, dtype=np.int64)
+    if flat.null_count:
+        flat = flat.fill_null("")
+    denc = flat.dictionary_encode()
+    codes = np.asarray(denc.indices, dtype=np.int64)
+    rowrep = np.repeat(np.arange(n, dtype=np.int64), lens)
+    order = np.lexsort((codes, rowrep))
+    c, r = codes[order], rowrep[order]
+    m = c.size
+    if m:
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = (c[1:] != c[:-1]) | (r[1:] != r[:-1])
+        starts = np.nonzero(new)[0]
+        tf = np.diff(np.append(starts, m)).astype(np.int32)
+        per_row = np.bincount(r[starts], minlength=n)
+        values = denc.dictionary.take(pa.array(c[starts], type=pa.int64()))
+    else:
+        per_row = np.zeros(n, dtype=np.int64)
+        tf = np.empty(0, dtype=np.int32)
+        values = pa.array([], type=pa.string())
+    offsets = pa.array(
+        np.concatenate(([0], np.cumsum(per_row))), type=pa.int32())
+    return (lens,
+            pa.ListArray.from_arrays(offsets, values),
+            pa.ListArray.from_arrays(offsets,
+                                     pa.array(tf, type=pa.int32())))
+
+
 def tokenized_docs_tf(df: DataFrame, cfg: IndexConfig,
                       use_pandas_udf: bool = False, *,
                       analyzer: Callable[[str], list] | None = None,
@@ -258,6 +299,49 @@ def tokenized_docs_tf(df: DataFrame, cfg: IndexConfig,
 
     base_cols = [F.col(c) for c in passthrough] + [
         F.sha2(F.col("content"), 256).alias("sha256")]
+    if analyzer is None and os.environ.get("EI4S_TOK_DEDUP", "0") == "1":
+        # A/B experiment (EI4S_TOK_DEDUP=1): tokenize each DISTINCT content
+        # once and attach (dl, terms, tfs) to all carriers by sha256 — a
+        # memory-bandwidth diet for duplicate-heavy corpora (the build is
+        # regex/string-bound; re-tokenizing a duplicate is pure DRAM
+        # traffic).  Costs: a groupBy(sha) exchange whose map-side combine
+        # only collapses IN-partition duplicates, parallelism bounded by
+        # the distinct count, and a join back (AQE broadcasts the distinct
+        # side when small).  Worth it only when the duplicate rate is
+        # high; measured in BENCH.md.  Meter counts distinct contents in
+        # this mode (best-effort, like all accumulator metrics).
+        import pyarrow as pa
+
+        tok = tokenize_udf(tok_cfg)("content") if use_pandas_udf \
+            else tokens_expr(F.col("content"), tok_cfg)
+        distinct = (df.groupBy(F.sha2(F.col("content"), 256).alias("sha256"))
+                    .agg(F.first("content").alias("content"))
+                    .select("sha256", tok.alias("tokens")))
+
+        from pyspark.sql import types as T
+        dschema = T.StructType([
+            T.StructField("sha256", T.StringType()),
+            T.StructField("dl", T.LongType()),
+            T.StructField("terms", T.ArrayType(T.StringType())),
+            T.StructField("tfs", T.ArrayType(T.IntegerType()))])
+
+        def dcombine(batches):
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                lens, terms, tfs = _tf_reduce_core(
+                    rb.num_rows, rb.column("tokens"))
+                if meter_acc is not None:
+                    meter_acc.add(rb.num_rows)
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column("sha256"), pa.array(lens, type=pa.int64()),
+                     terms, tfs],
+                    names=["sha256", "dl", "terms", "tfs"])
+
+        dtok = distinct.mapInArrow(dcombine, schema=dschema)
+        joined = (df.select(*base_cols).join(dtok, "sha256")
+                  .select(*out_names))
+        return with_doc_ids(joined, list(cfg.doc_key), cfg.num_shards)
     if analyzer is None:
         tok = tokenize_udf(tok_cfg)("content") if use_pandas_udf \
             else tokens_expr(F.col("content"), tok_cfg)
@@ -267,44 +351,11 @@ def tokenized_docs_tf(df: DataFrame, cfg: IndexConfig,
 
     def _reduce(rb: pa.RecordBatch, toks) -> pa.RecordBatch:
         """Vectorized per-doc token→(term, tf) reduction over one batch."""
-        import pyarrow.compute as pc
-
-        n = rb.num_rows
-        flat = toks.flatten()
-        vl = toks.value_lengths()
-        if vl.null_count:
-            vl = pc.fill_null(vl, 0)
-        lens = np.asarray(vl, dtype=np.int64)
-        if flat.null_count:
-            flat = flat.fill_null("")
-        denc = flat.dictionary_encode()
-        codes = np.asarray(denc.indices, dtype=np.int64)
-        rowrep = np.repeat(np.arange(n, dtype=np.int64), lens)
-        order = np.lexsort((codes, rowrep))
-        c, r = codes[order], rowrep[order]
-        m = c.size
-        if m:
-            new = np.empty(m, dtype=bool)
-            new[0] = True
-            new[1:] = (c[1:] != c[:-1]) | (r[1:] != r[:-1])
-            starts = np.nonzero(new)[0]
-            tf = np.diff(np.append(starts, m)).astype(np.int32)
-            per_row = np.bincount(r[starts], minlength=n)
-            values = denc.dictionary.take(
-                pa.array(c[starts], type=pa.int64()))
-        else:
-            per_row = np.zeros(n, dtype=np.int64)
-            tf = np.empty(0, dtype=np.int32)
-            values = pa.array([], type=pa.string())
-        offsets = pa.array(
-            np.concatenate(([0], np.cumsum(per_row))), type=pa.int32())
+        lens, terms, tfs = _tf_reduce_core(rb.num_rows, toks)
         return pa.RecordBatch.from_arrays(
             [rb.column(c) for c in passthrough]
             + [rb.column("sha256"),
-               pa.array(lens, type=pa.int64()),
-               pa.ListArray.from_arrays(offsets, values),
-               pa.ListArray.from_arrays(offsets,
-                                        pa.array(tf, type=pa.int32()))],
+               pa.array(lens, type=pa.int64()), terms, tfs],
             names=out_names)
 
     def _tokens_custom(rb: pa.RecordBatch) -> tuple[pa.RecordBatch, "pa.Array"]:
