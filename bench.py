@@ -125,6 +125,17 @@ def main() -> None:
         lat_w.append(time.monotonic() - tq)
     timings["bm25_wand_worst"] = round(sorted(lat_w)[len(lat_w) // 2], 3)
 
+    # --- batch query set: every query shape in ONE Spark action -----------
+    from elastic_indexer4s_spark.operators.query import topk_batch
+    qmap = {i: t for i, t in enumerate(terms_cycle)}
+    topk_batch(spark, gen, qmap, k=10, wand=True).count()       # warm
+    lat_b = []
+    for _ in range(5):
+        tq = time.monotonic()
+        topk_batch(spark, gen, qmap, k=10, wand=True).count()
+        lat_b.append(time.monotonic() - tq)
+    timings["bm25_batch_queryset"] = round(sorted(lat_b)[len(lat_b) // 2], 3)
+
     # --- serving-tier latency (LocalSearcher: pyarrow, no Spark job) ------
     from elastic_indexer4s_spark.serving import LocalSearcher
     searcher = LocalSearcher(gen)

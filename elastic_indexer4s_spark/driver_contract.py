@@ -28,7 +28,8 @@ from .functions.hashing import md5_double_longs_sql, md5_long, md5_long_sql
 from .functions.tokenizer import simple_tokens_expr, simple_tokens_sql
 from .operators import dedup, multimodal, similarity, textstats
 from .operators.build import build_index
-from .operators.query import topk as engine_topk, count_index
+from .operators.query import (topk as engine_topk,
+                              topk_batch as engine_topk_batch, count_index)
 from .results import RunResult
 
 # ---------------------------------------------------------------------------
@@ -382,6 +383,30 @@ def q_engine_bm25_wand_and(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(50))
 
 
+def q_engine_bm25_queryset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole reference query set through the engine index in ONE Spark
+    action (operators.query.topk_batch): one postings scan filtered on the
+    union of all query terms, one dictionary broadcast, per-shard scoring
+    of every query, one per-query window.  Top-10 per query re-selected on
+    the oracle's exact key (rounded score desc, original doc_id asc) from
+    a deep raw margin, like the single-query WAND row."""
+    gen = _generation_for(spark, sf_dir)
+    qmap: dict[int, list[str]] = {}
+    for qid, term in QUERY_SET:
+        qmap.setdefault(qid, []).append(term)
+    res = engine_topk_batch(spark, gen, qmap, k=100, wand=True)
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("orig_id").asc())
+    return (res.join(ids, "doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    F.col("orig_id").alias("doc_id"),
+                    F.round("score", 6).alias("score")))
+
+
 def q_engine_bm25_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-tier path (serving.LocalSearcher: pyarrow direct read of the
     index artifact, NO Spark job) — must be value-identical to the DuckDB
@@ -465,6 +490,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented scale path for embedding near-dup: the blocking column
+    is an LSH bucket (similarity.lsh_buckets) instead of a curated label —
+    the pair join shuffles on the bucket key only.  Hash-verified so the
+    'at scale the block is an LSH bucket' claim is value-checked, not
+    prose."""
+    emb = _emb(spark, sf_dir)
+    vb = similarity.lsh_buckets(emb, n_planes=4, dim=64)
+    return dedup.embedding_dup_pairs(vb, block_col="bucket", threshold=0.35)
+
+
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = (emb.filter(F.col("vec_id") < 5)
@@ -484,6 +520,18 @@ def q_ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return (similarity.ivf_assign(emb, n_centroids=8, dim=64)
             .select("vec_id", F.col("cell").cast("long").alias("cell")))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN serving path: score only the query's own LSH bucket,
+    partial per-partition prune, exact-score ranking (lossless vs the
+    oracle's full in-bucket ranking)."""
+    emb = _emb(spark, sf_dir)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.lsh_topk(emb, q, k=10, n_planes=4, dim=64)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "vec_id", "cosine")
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,6 +841,14 @@ SELECT doc_id, score FROM agg"""
 WITH {_bm25_sql(_flagship_values(), CODE_TOK)}
 SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 10"""
 
+    oracles["engine_bm25_queryset"] = f"""
+WITH {_bm25_sql(_queryset_values(), CODE_TOK)},
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM agg)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM r WHERE rank <= 10"""
+
     # WAND worst case: 3 stopword-grade terms, conjunctive, top-50 on the
     # same (rounded score, doc_id) key the Spark side re-selects on
     worst_values = ("(VALUES " + ", ".join(f"(0, '{t}')" for t in WORST_TERMS)
@@ -920,6 +976,31 @@ FROM r WHERE rank <= 10"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 dots AS (SELECT vec_id, {lsh_dots} FROM e)
 SELECT vec_id, {lsh_bucket} AS bucket FROM dots"""
+
+    cos_pair_lsh = _COS.format(a="x.v", b="y.v")
+    oracles["dedup_embedding_lsh"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dots AS (SELECT vec_id, v, {lsh_dots} FROM e),
+b AS (SELECT vec_id, v, {lsh_bucket} AS bucket FROM dots),
+pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                 round({cos_pair_lsh}, 6) AS cosine
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35"""
+
+    cos_lsh = _pair_cos_chain("q.qv", "b.v", 64)
+    oracles["ann_lsh_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dots AS (SELECT vec_id, v, {lsh_dots} FROM e),
+b AS (SELECT vec_id, v, {lsh_bucket} AS bucket FROM dots),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+scored AS (SELECT q.query_id, b.vec_id, {cos_lsh} AS s
+           FROM b JOIN q USING (bucket)),
+r AS (SELECT query_id, vec_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id, rank::BIGINT AS rank, vec_id, round(s, 6) AS cosine
+FROM r WHERE rank <= 10"""
 
     ivf_defs, ivf_argmax, ivf_by_cell = _ivf_sql_parts(8, 64, "v")
     ivf_qdefs, _, _ = _ivf_sql_parts(8, 64, "qv")
@@ -1113,6 +1194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_bm25_and": q_engine_bm25_and,
     "engine_bm25_wand": q_engine_bm25_wand,
     "engine_bm25_wand_and": q_engine_bm25_wand_and,
+    "engine_bm25_queryset": q_engine_bm25_queryset,
     "engine_bm25_local": q_engine_bm25_local,
     "lifecycle_retention": q_lifecycle_retention,
     "lifecycle_alias_gate": q_lifecycle_alias_gate,
@@ -1122,8 +1204,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_cells": q_ann_ivf_cells,
     "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id": q_lang_id,

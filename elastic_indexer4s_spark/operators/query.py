@@ -34,7 +34,7 @@ import heapq
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import fs as FS
@@ -323,6 +323,86 @@ def topk(spark: SparkSession, generation_dir: str, query_terms: list[str],
     local = postings.groupBy("shard").applyInPandas(
         score_shard, schema="doc_id long, score double")
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def topk_batch(spark: SparkSession, generation_dir: str,
+               queries: dict[int, list[str]], k: int = 10, *,
+               wand: bool = False, mode: str = "or",
+               cfg: IndexConfig | None = None) -> DataFrame:
+    """Top-k BM25 for a whole query SET in ONE Spark action →
+    DataFrame(query_id long, rank long, doc_id long, score double).
+
+    The amortization path for offline evaluation / reranking pipelines
+    (the reference's "query set" workload): the postings scan filters on
+    the UNION of all query terms (one `term IN (...)` pushdown, one
+    dictionary broadcast, one shard scatter), the per-shard task scores
+    every query against its term slice via the same WAND/exhaustive
+    scorers as :func:`topk`, and only shards*queries*k candidate rows
+    reach the final per-query window.  Per-query plans would pay the
+    scan + schedule cost |queries| times for identical artifacts."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    cfg = cfg or load_config(generation_dir)
+    stats = load_stats(generation_dir)
+    n_docs, avg_dl = stats["num_docs"], stats["avg_dl"]
+    analyzed = {int(qid): analyze_query(terms, cfg.tokenizer)
+                for qid, terms in queries.items()}
+    analyzed = {qid: t for qid, t in analyzed.items() if t}
+    all_terms = sorted({t for ts in analyzed.values() for t in ts})
+    empty = spark.createDataFrame(
+        [], "query_id long, rank long, doc_id long, score double")
+    if not all_terms or n_docs == 0 or avg_dl == 0:
+        return empty
+
+    readers = _readers_for(spark, generation_dir)
+    postings = readers["postings"].filter(F.col("term").isin(all_terms))
+    idfs: dict[str, float] | None
+    if "dictionary" in readers:
+        d = (readers["dictionary"]
+             .filter(F.col("term").isin(all_terms))
+             .withColumnRenamed("df", "df_g"))
+        postings = postings.join(F.broadcast(d), "term", "inner")
+        idfs = None
+    else:
+        dfs = global_dfs(postings)
+        if not dfs:
+            return empty
+        idfs = {t: _idf(n_docs, df) for t, df in dfs.items()}
+    k1, b = cfg.k1, cfg.b
+    scorer = _shard_wand if wand else _shard_exhaustive
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if idfs is None:
+            local_idfs = {t: _idf(n_docs, int(g))
+                          for t, g in zip(pdf["term"], pdf["df_g"])}
+        else:
+            local_idfs = idfs
+        encs_all = {r["term"]: row_to_enc(r) for _, r in pdf.iterrows()}
+        outs = []
+        for qid, terms in analyzed.items():
+            encs = [(t, encs_all[t]) for t in terms if t in encs_all]
+            if not encs:
+                continue
+            require_all = len(terms) if mode == "and" else 0
+            res = scorer(encs, local_idfs, k1, b, float(avg_dl), k,
+                         require_all)
+            res.insert(0, "query_id", qid)
+            outs.append(res)
+        if not outs:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    local = postings.groupBy("shard").applyInPandas(
+        score_shard, schema="query_id long, doc_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "doc_id", "score"))
 
 
 def count_index(spark: SparkSession, generation_dir: str) -> int:

@@ -102,3 +102,34 @@ def test_skipped_docs_flagged_best_effort(tiny_index):
     with open(os.path.join(gen, "stats.json")) as f:
         stats = json.load(f)
     assert stats["skipped_docs_exact"] is False
+
+
+def test_topk_batch_matches_per_query(spark, tiny_index):
+    """topk_batch (one Spark action for the whole query set) must return
+    exactly what per-query topk returns, for every query, in both scorer
+    modes and under AND."""
+    from elastic_indexer4s_spark.operators.query import topk, topk_batch
+
+    gen, _cfg = tiny_index
+    qmap = {0: ["tokenIndex", "merge"], 1: ["sparkJoin"],
+            2: ["window", "batch", "scan"], 3: ["zzabsenttermzz"]}
+    for wand in (False, True):
+        batch = topk_batch(spark, gen, qmap, k=5, wand=wand).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 9)))
+        for qid, terms in qmap.items():
+            single = [(i + 1, r["doc_id"], round(r["score"], 9))
+                      for i, r in enumerate(
+                          topk(spark, gen, terms, k=5, wand=wand).collect())]
+            assert sorted(got.get(qid, [])) == single, (wand, qid)
+    # conjunctive: same parity, absent-term query stays empty
+    b_and = topk_batch(spark, gen, qmap, k=5, wand=True, mode="and").collect()
+    got_and = {}
+    for r in b_and:
+        got_and.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    for qid, terms in qmap.items():
+        single = [(i + 1, r["doc_id"]) for i, r in enumerate(
+            topk(spark, gen, terms, k=5, wand=True, mode="and").collect())]
+        assert sorted(got_and.get(qid, [])) == single, qid
