@@ -158,6 +158,91 @@ def ivf_assign_expr(vectors: DataFrame, n_centroids: int = 8, dim: int = 64,
 # ---------------------------------------------------------------------------
 
 
+def train_ivf_centroids(vectors: DataFrame, n_centroids: int = 8,
+                        dim: int = 64, iters: int = 5,
+                        vec_col: str = "embedding"):
+    """Distributed spherical k-means for IVF: learn centroid DIRECTIONS
+    (cosine objective) from the corpus instead of the deterministic family.
+
+    Scale shape: each iteration is ONE mapInPandas pass emitting per-
+    partition partials (cell, count, sum-vector) — K*(dim+1) floats per
+    partition — which the driver combines and renormalizes; nothing
+    corpus-sized ever reaches the driver and no iteration shuffles the
+    vectors.  Initialization is the deterministic md5 family, so training
+    is reproducible without an RNG seed protocol.  Empty cells keep their
+    previous direction.  Returns (C, inv) ready for
+    ``ivf_assign(..., centroids=(C, inv))`` / ``ivf_topk``.
+
+    (This is the 'at production scale the same operator runs with learned
+    centroids' path made concrete; iterative refinement is inherently
+    non-SQL-expressible, so it is pinned by pytest, not a DuckDB oracle.)
+    """
+    import numpy as np
+
+    C, inv = centroid_matrix(n_centroids, dim)
+    for _ in range(iters):
+        Cn = C * inv[:, None]                   # unit directions
+        schema = T.StructType([
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("vsum", T.ArrayType(T.DoubleType()))])
+
+        def partials(batches, Cn=Cn):
+            import pandas as pd
+
+            counts = np.zeros(n_centroids, dtype=np.int64)
+            sums = np.zeros((n_centroids, dim), dtype=np.float64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = vk.stack_arrays(pdf[vec_col], dim)
+                cells = np.argmax(X @ Cn.T, axis=1)
+                counts += np.bincount(cells, minlength=n_centroids)
+                for c in range(n_centroids):
+                    m = cells == c
+                    if m.any():
+                        sums[c] += X[m].sum(axis=0)
+            nz = np.nonzero(counts)[0]
+            if len(nz):
+                yield pd.DataFrame({
+                    "cell": nz.astype(np.int32),
+                    "cnt": counts[nz],
+                    "vsum": [sums[c] for c in nz]})
+
+        rows = (vectors.select(F.col(vec_col))
+                .mapInPandas(partials, schema).collect())
+        counts = np.zeros(n_centroids, dtype=np.int64)
+        sums = np.zeros((n_centroids, dim), dtype=np.float64)
+        for r in rows:
+            counts[r["cell"]] += r["cnt"]
+            sums[r["cell"]] += np.asarray(r["vsum"], dtype=np.float64)
+        newC = C.copy()
+        for c in range(n_centroids):
+            if counts[c]:
+                newC[c] = sums[c] / counts[c]
+        C = newC
+        norms = np.sqrt((C * C).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        inv = 1.0 / norms
+    return C, inv
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int,
+                query_id_col: str = "query_id",
+                id_col: str = "vec_id") -> DataFrame:
+    """(query_id, recall): |approx ∩ exact| / k per query — the standard
+    ANN quality dial, as a DataFrame join so it runs at any result size."""
+    a = approx.filter(F.col("rank") <= k).select(query_id_col, id_col)
+    e = exact.filter(F.col("rank") <= k).select(query_id_col, id_col)
+    hits = a.join(e, [query_id_col, id_col]).groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("_hits"))
+    qs = e.select(query_id_col).distinct()
+    return (qs.join(hits, query_id_col, "left")
+            .select(query_id_col,
+                    (F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(float(k)))
+                    .alias("recall")))
+
+
 def lsh_buckets(vectors: DataFrame, n_planes: int = 4, dim: int = 64,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(id, vec, bucket): random-hyperplane signature — bit p is set iff
@@ -186,8 +271,8 @@ def lsh_buckets(vectors: DataFrame, n_planes: int = 4, dim: int = 64,
 
 
 def ivf_assign(vectors: DataFrame, n_centroids: int = 8, dim: int = 64,
-               id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids=None) -> DataFrame:
     """(id, vec, cell): IVF coarse quantization — each vector is assigned to
     the deterministic centroid direction with the highest cosine.
 
@@ -197,8 +282,10 @@ def ivf_assign(vectors: DataFrame, n_centroids: int = 8, dim: int = 64,
     fell back to interpreted eval; see VERDICT r2).  ``cell`` is the
     partition / pruning key of the inverted file.  At production scale the
     same operator runs with learned centroids; the deterministic family
-    keeps the whole path cross-engine verifiable."""
-    C, inv = centroid_matrix(n_centroids, dim)
+    keeps the whole path cross-engine verifiable.  ``centroids=(C, inv)``
+    (e.g. from :func:`train_ivf_centroids`) swaps in learned directions."""
+    C, inv = centroids if centroids is not None \
+        else centroid_matrix(n_centroids, dim)
 
     @F.pandas_udf(T.IntegerType())
     def _cell(emb):
@@ -295,7 +382,7 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 8, n_probe: int = 2, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id", centroids=None) -> DataFrame:
     """Approximate top-k via IVF: score only vectors whose cell is among the
     query's ``n_probe`` best cells — the standard IVF recall/cost dial.
 
@@ -320,7 +407,8 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     same kernel."""
     import numpy as np
 
-    C, inv = centroid_matrix(n_centroids, dim)
+    C, inv = centroids if centroids is not None \
+        else centroid_matrix(n_centroids, dim)
 
     # top n_probe cells by (score DESC, cell ASC): lexsort is stable — same
     # tie-break as the oracle's row_number ORDER BY cscore DESC, cell
