@@ -140,6 +140,42 @@ def main() -> None:
     check(f"IVF cell assignment is a pure projection: 0 exchanges "
           f"(found {n_ex})", n_ex == 0, "")
 
+    # --- 5. round-3 shapes: pruned ANN exchanges, batch query scan ---------
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    plan = plan_of(similarity.brute_force_topk(emb, q, k=5))
+    m_map = re.search(r"\((\d+)\) MapInPandas", plan)
+    m_win = re.search(r"\((\d+)\) Window\b", plan)
+    # formatted plans number nodes leaf-first: the prune's MapInPandas must
+    # be DEEPER (smaller id) than the final window
+    ok = bool(m_map and m_win and int(m_map.group(1)) < int(m_win.group(1)))
+    check("brute-force top-k: window exchange consumes the PRUNED "
+          "mapInPandas output, not raw scored rows", ok,
+          f"MapInPandas node ({m_map and m_map.group(1)}) deeper than "
+          f"Window node ({m_win and m_win.group(1)})")
+    ok = "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    check("brute-force top-k: query side is broadcast (no shuffle "
+          "cross join)", ok, "")
+
+    plan = plan_of(similarity.ivf_topk(emb, q, k=5))
+    n_scan = len(re.findall(r"Scan parquet\s+\(\d+\)", plan))  # tree nodes
+    n_map = len(re.findall(r"\(\d+\) MapInPandas", plan))
+    check(f"fused IVF top-k: ONE corpus scan + ONE python stage "
+          f"(found {n_scan} scans, {n_map} MapInPandas)",
+          n_scan == 1 and n_map == 1, "")
+
+    gen = dc._generation_for(spark, SF_DIR)
+    from elastic_indexer4s_spark.operators.query import topk_batch
+    qb = topk_batch(spark, gen, {0: ["spark", "join"], 1: ["merge"]}, k=5)
+    plan = plan_of(qb)
+    m_pf = re.search(r"PushedFilters: \[.*In\(term.*\]", plan)
+    n_post_scans = len(re.findall(r"Scan parquet .*postings", plan)) or \
+        len(re.findall(r"Scan parquet", plan))
+    ok = bool(m_pf) and "BroadcastExchange" in plan
+    check("batch query set: union-term IN pushdown + broadcast "
+          "dictionary, one postings scan", ok,
+          (m_pf.group(0)[:90] if m_pf else "no pushdown found"))
+
     spark.stop()
     sys.exit(1 if FAIL else 0)
 
