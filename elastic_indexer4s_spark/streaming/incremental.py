@@ -184,6 +184,33 @@ def streaming_session_counts(stream_df: DataFrame, ts_col: str = "ts",
         "update", GroupStateTimeout.NoTimeout))
 
 
+def streaming_exact_dedup(stream_df: DataFrame, text_col: str = "text",
+                          ts_col: str | None = None,
+                          watermark: str | None = None) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST document carrying each
+    content hash, across micro-batches and restarts.
+
+    The pre-indexing dedup step of a streaming corpus pipeline, as pure
+    built-in dataflow: a 16-byte md5 content key + Structured Streaming's
+    stateful ``dropDuplicates`` (RocksDB/HDFS state store — survives
+    restarts via the checkpoint, which is what makes cross-batch dedup
+    correct, not best-effort).  Only the hash enters the state store,
+    never the content — state is O(distinct docs * 16 B).
+
+    For unbounded streams pass ``ts_col`` + ``watermark``:
+    ``dropDuplicatesWithinWatermark`` then expires state older than the
+    watermark, bounding the store on infinite streams at the cost of
+    re-admitting duplicates that arrive further apart than the watermark —
+    the standard state-retention dial.
+    """
+    out = stream_df.withColumn("_content_hash", F.md5(F.col(text_col)))
+    if ts_col is not None and watermark is not None:
+        return (out.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["_content_hash"])
+                .drop("_content_hash"))
+    return out.dropDuplicates(["_content_hash"]).drop("_content_hash")
+
+
 def windowed_doc_counts(stream_df: DataFrame, ts_col: str,
                         window: str = "1 minute",
                         watermark: str = "2 minutes") -> DataFrame:

@@ -161,3 +161,43 @@ def test_streaming_session_counts_stateful_resume(spark, tmp_path):
     got2 = drain("b")
     assert got2[1] == (2, 3)
     assert got2[2] == (1, 2)
+
+
+def test_streaming_exact_dedup_across_batches_and_restart(spark, tmp_path):
+    """First occurrence of each content survives; duplicates are dropped
+    across micro-batches AND across a query restart (state store via
+    checkpoint) — the property a per-batch dropDuplicates cannot give."""
+    from elastic_indexer4s_spark.streaming.incremental import (
+        streaming_exact_dedup)
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    seen: list = []
+
+    def sink(bdf, _bid):
+        seen.extend((r["doc_id"], r["text"]) for r in bdf.collect())
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (streaming_exact_dedup(stream).writeStream
+             .foreachBatch(sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    texts = sorted(t for _, t in seen)
+    assert texts == ["alpha", "beta"]          # in-batch duplicate dropped
+
+    # restart with new files: duplicates of already-seen content must be
+    # dropped by restored state; only genuinely new content passes
+    spark.createDataFrame(
+        [(4, "beta"), (5, "gamma"), (6, "alpha")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    texts = sorted(t for _, t in seen)
+    assert texts == ["alpha", "beta", "gamma"]
+    assert (5, "gamma") in seen
