@@ -147,6 +147,16 @@ def main() -> None:
         tq = time.monotonic()
         searcher.search(terms, 10)
         lat_local.append(time.monotonic() - tq)
+    # serving batch: the whole query set in one artifact read
+    searcher.search_batch(qmap, k=10, wand=True)
+    lat_sb = []
+    for _ in range(5):
+        tq = time.monotonic()
+        searcher.search_batch(qmap, k=10, wand=True)
+        lat_sb.append(time.monotonic() - tq)
+    timings["serving_batch_queryset"] = round(
+        sorted(lat_sb)[len(lat_sb) // 2], 4)
+
     lat_local.sort()
     lp50 = lat_local[len(lat_local) // 2]
     lp99 = lat_local[min(len(lat_local) - 1, int(len(lat_local) * 0.99))]

@@ -127,6 +127,69 @@ class LocalSearcher:
         merged.sort(key=lambda sd: (-sd[0], sd[1]))
         return [(int(d), float(s)) for s, d in merged[:k]]
 
+    def search_batch(self, queries: dict[int, list[str]], k: int = 10, *,
+                     wand: bool = False,
+                     mode: str = "or") -> dict[int, list[tuple[int, float]]]:
+        """Top-k for a whole query set in ONE artifact read →
+        {query_id: [(doc_id, score)]}, each list ordered like
+        :meth:`search`.
+
+        The serving twin of ``operators.query.topk_batch``: the postings
+        read filters on the UNION of every query's terms (one row-group-
+        pruned columnar read instead of |queries| reads), each shard's
+        term slice is decoded once, and every query scores against the
+        already-decoded slice.  Per-query results are identical to
+        :meth:`search` (same analyzer, scorers, tie-breaks) — pinned by
+        tests."""
+        import pyarrow.dataset as ds
+
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        analyzed = {qid: analyze_query(t, self.cfg.tokenizer)
+                    for qid, t in queries.items()}
+        analyzed = {qid: t for qid, t in analyzed.items() if t}
+        all_terms = sorted({t for ts in analyzed.values() for t in ts})
+        if not all_terms or self.num_docs == 0 or self.avg_dl == 0:
+            return {}
+        tbl = self.postings.to_table(filter=ds.field("term").isin(all_terms))
+        if tbl.num_rows == 0:
+            return {}
+        dfs = self._dfs(all_terms, tbl)
+        idfs = {t: _idf(self.num_docs, df) for t, df in dfs.items()}
+        scorer = _shard_wand if wand else _shard_exhaustive
+
+        by_shard: dict[int, dict] = {}
+        for r in tbl.to_pylist():
+            by_shard.setdefault(int(r["shard"]), {})[r["term"]] = \
+                row_to_enc(r)
+
+        def score_shard(term_encs: dict) -> dict[int, list]:
+            outs: dict[int, list] = {}
+            for qid, terms in analyzed.items():
+                encs = [(t, term_encs[t]) for t in terms if t in term_encs]
+                if not encs:
+                    continue
+                require_all = len(terms) if mode == "and" else 0
+                top = scorer(encs, idfs, self.cfg.k1, self.cfg.b,
+                             float(self.avg_dl), k, require_all)
+                if len(top):
+                    outs[qid] = list(zip(top["score"], top["doc_id"]))
+            return outs
+
+        groups = list(by_shard.values())
+        if self._pool is not None and len(groups) > 1:
+            shard_outs = list(self._pool.map(score_shard, groups))
+        else:
+            shard_outs = [score_shard(g) for g in groups]
+        result: dict[int, list[tuple[int, float]]] = {}
+        for qid in analyzed:
+            merged = [sd for so in shard_outs for sd in so.get(qid, [])]
+            if not merged:
+                continue
+            merged.sort(key=lambda sd: (-sd[0], sd[1]))
+            result[qid] = [(int(d), float(s)) for s, d in merged[:k]]
+        return result
+
     def count(self) -> int:
         """Match-all doc count (reference `EsOpsClientApi.scala:89-90`)."""
         return self.num_docs

@@ -53,3 +53,24 @@ def test_search_alias(spark, tiny_index, tmp_path):
     want = [(r["doc_id"], r["score"]) for r in
             topk(spark, gen, ["tokenIndex", "merge"], 5).collect()]
     assert got == want
+
+
+def test_search_batch_matches_per_query(tiny_index):
+    """search_batch (one artifact read for the query set) must equal
+    per-query search for every query, in both scorer modes and under AND;
+    an absent-term query is simply missing from the result dict."""
+    from elastic_indexer4s_spark.serving import LocalSearcher
+
+    gen, _cfg = tiny_index
+    s = LocalSearcher(gen)
+    qmap = {0: ["tokenIndex", "merge"], 1: ["sparkJoin"],
+            2: ["window", "batch", "scan"], 3: ["zzabsenttermzz"]}
+    for wand in (False, True):
+        batch = s.search_batch(qmap, k=5, wand=wand)
+        for qid, terms in qmap.items():
+            single = s.search(terms, k=5, wand=wand)
+            assert batch.get(qid, []) == single, (wand, qid)
+    batch_and = s.search_batch(qmap, k=5, wand=True, mode="and")
+    for qid, terms in qmap.items():
+        single = s.search(terms, k=5, wand=True, mode="and")
+        assert batch_and.get(qid, []) == single, qid
