@@ -595,6 +595,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feature", 4).alias("f_max"))
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub resize (deterministic stride subsample to width*height bytes) —
+    pure byte selection, so the whole mapInPandas path is hash-verified in
+    the hex domain like multimodal_frames."""
+    media = multimodal.attach_payload(_docs(spark, sf_dir))
+    out = multimodal.resize_stub(media, 16, 8)        # target 128 bytes
+    return out.select(
+        "id", F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.hex(F.col("payload"))).alias("payload_md5"))
+
+
 def q_events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sums go through DECIMAL so both engines accumulate exactly (double
     # summation order differs between engines; decimal addition does not).
@@ -1129,6 +1142,20 @@ SELECT hv.id,
        coalesce(bs.bmax, 0)::DOUBLE AS f_max
 FROM hv LEFT JOIN bs ON hv.id = bs.id"""
 
+    oracles["multimodal_resize"] = """
+WITH p AS (SELECT doc_id AS id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS nb FROM documents),
+small AS (SELECT id, hx AS oh, nb::BIGINT AS onb FROM p WHERE nb <= 128),
+big AS (SELECT id, hx, nb // 128 AS s FROM p WHERE nb > 128),
+sel AS (SELECT id, i, substr(hx, 2 * (i * s) + 1, 2) AS b
+        FROM (SELECT id, hx, s, unnest(generate_series(0, 127)) AS i
+              FROM big)),
+agg AS (SELECT id, string_agg(b, '' ORDER BY i) AS oh, 128::BIGINT AS onb
+        FROM sel GROUP BY id),
+u AS (SELECT * FROM small UNION ALL SELECT * FROM agg)
+SELECT id, 16::BIGINT AS width, 8::BIGINT AS height,
+       onb AS n_bytes, md5(oh) AS payload_md5 FROM u"""
+
     oracles["events_minutely"] = """
 SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, event_type,
        count(*) AS n,
@@ -1217,6 +1244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
     "events_minutely": q_events_minutely,
     "events_sessions": q_events_sessions,
     "tpch_q1": q_tpch_q1,

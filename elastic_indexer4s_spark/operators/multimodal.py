@@ -155,16 +155,40 @@ def frame_sample(df: DataFrame, n_frames: int = 4,
         run, schema="id long, frame_idx int, frame binary, n_bytes long")
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB resize: passes payloads through mapInPandas with the target dims
-    recorded — the real implementation swaps `_fake_resize` for a codec call.
-    Kept as a separate narrow pass so payload bytes still never shuffle."""
+def resize_stub(df: DataFrame, width: int, height: int,
+                strict: bool = False) -> DataFrame:
+    """STUB resize: downsample each payload to ``width*height`` bytes by a
+    deterministic stride subsample (positions ``0, s, 2s, ...`` with
+    ``s = n_bytes // (width*height)``; payloads already at or under the
+    target pass through).  A real implementation swaps the subsample for a
+    PIL/libav rescale (``strict=True`` raises until codecs exist) — but
+    the distributed shape is the real one: a separate narrow mapInPandas
+    pass whose OUTPUT is the size-reduced payload, so downstream stages
+    shuffle at most ``width*height`` bytes per doc and the original
+    payload bytes still never cross a shuffle.  The fake is pure byte
+    selection, so it is hash-verified cross-engine (hex-domain DuckDB
+    twin, like frame_sample)."""
+    if strict and not decode_available():
+        raise NotImplementedError(
+            "image codecs not installed; resize requires PIL for real "
+            "rescaling (deterministic fake available with strict=False)")
+    target = int(width) * int(height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = pdf[["id", "kind", "payload"]].copy()
+            resized = []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                if len(raw) <= target:
+                    resized.append(raw)
+                else:
+                    s = len(raw) // target
+                    resized.append(raw[: target * s : s])
+            out = pdf[["id", "kind"]].copy()
+            out["payload"] = pd.Series(resized, dtype=object,
+                                       index=pdf.index)
             out["width"] = np.int32(width)
             out["height"] = np.int32(height)
             yield out
