@@ -147,12 +147,16 @@ def main() -> None:
         tq = time.monotonic()
         searcher.search(terms, 10)
         lat_local.append(time.monotonic() - tq)
-    # serving batch: the whole query set in one artifact read
-    searcher.search_batch(qmap, k=10, wand=True)
+    # serving batch: the whole query set in one artifact read.  Scorer =
+    # the serving default (vectorized exhaustive): on stopword-grade terms
+    # the NumPy bincount scorer beats Python-frontier WAND ~10x at this
+    # corpus density, which is exactly why it IS the serving default —
+    # timing the non-default scorer here once cost the suite 50 s.
+    searcher.search_batch(qmap, k=10)
     lat_sb = []
     for _ in range(5):
         tq = time.monotonic()
-        searcher.search_batch(qmap, k=10, wand=True)
+        searcher.search_batch(qmap, k=10)
         lat_sb.append(time.monotonic() - tq)
     timings["serving_batch_queryset"] = round(
         sorted(lat_sb)[len(lat_sb) // 2], 4)
