@@ -117,11 +117,11 @@ def main() -> None:
     # opportunity, maximal frontier churn) under AND mode at k=50 —
     # the p99-defining query shape, hash-verified as engine_bm25_wand_and
     worst = ["batch", "scan", "data"]
-    serve_topk(spark, gen, worst, k=50, wand=True, mode="and")
+    serve_topk(spark, gen, worst, k=50, wand="force", mode="and")
     lat_w = []
     for _ in range(5):
         tq = time.monotonic()
-        serve_topk(spark, gen, worst, k=50, wand=True, mode="and")
+        serve_topk(spark, gen, worst, k=50, wand="force", mode="and")
         lat_w.append(time.monotonic() - tq)
     timings["bm25_wand_worst"] = round(sorted(lat_w)[len(lat_w) // 2], 3)
 

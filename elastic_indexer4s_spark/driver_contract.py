@@ -356,7 +356,7 @@ def q_engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     unless >90 raw-score ties straddle the boundary, which the value hash
     would catch."""
     gen = _generation_for(spark, sf_dir)
-    res = engine_topk(spark, gen, FLAGSHIP_TERMS, k=100, wand=True)
+    res = engine_topk(spark, gen, FLAGSHIP_TERMS, k=100, wand="force")
     doclen = spark.read.parquet(os.path.join(gen, "doclen"))
     ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
     return (res.join(ids, "doc_id")
@@ -373,7 +373,8 @@ def q_engine_bm25_wand_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so this exercises full frontier advancement + the require_all
     gate).  Same deep-margin re-selection discipline as q_engine_bm25_wand."""
     gen = _generation_for(spark, sf_dir)
-    res = engine_topk(spark, gen, WORST_TERMS, k=200, wand=True, mode="and")
+    res = engine_topk(spark, gen, WORST_TERMS, k=200, wand="force",
+                      mode="and")
     doclen = spark.read.parquet(os.path.join(gen, "doclen"))
     ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
     return (res.join(ids, "doc_id")

@@ -165,6 +165,32 @@ _EMPTY_TOPK = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                             "score": pd.Series(dtype="float64")})
 
 
+#: WAND falls back to the exhaustive scorer when EVERY query term's global
+#: document frequency exceeds this fraction of the corpus: with only dense
+#: terms the heap threshold almost never exceeds the block upper-bound sums,
+#: so nothing is skipped and the Python block-frontier loop just adds
+#: overhead over the vectorized bincount scorer (measured ~10x on
+#: 3-stopword queries at 200k docs).  Safe because the two scorers are
+#: bit-identical (pinned by the WAND property fuzz + hash rows).
+WAND_DENSE_DF_FRAC = 0.05
+
+
+def choose_scorer(wand, dfs: dict[str, int], n_docs: int):
+    """Cost-based scorer selection: ``wand=True`` is an optimization HINT —
+    keep WAND only if at least one term is selective enough
+    (df/N <= WAND_DENSE_DF_FRAC) for block-max pruning to fire; fall back
+    to the vectorized exhaustive scorer otherwise (results are identical
+    either way).  ``wand="force"`` bypasses the cost model (tests/bench
+    that must exercise the WAND machinery itself)."""
+    if wand == "force":
+        return _shard_wand
+    if not wand or not dfs or not n_docs:
+        return _shard_exhaustive
+    if min(dfs.values()) / float(n_docs) > WAND_DENSE_DF_FRAC:
+        return _shard_exhaustive
+    return _shard_wand
+
+
 def _shard_wand(encs: list[tuple[str, EncodedPostings]], idfs: dict[str, float],
                 k1: float, b: float, avg_dl: float, k: int,
                 require_all: int = 0) -> pd.DataFrame:
@@ -271,14 +297,16 @@ def _shard_wand(encs: list[tuple[str, EncodedPostings]], idfs: dict[str, float],
 
 
 def topk(spark: SparkSession, generation_dir: str, query_terms: list[str],
-         k: int = 10, *, wand: bool = False, mode: str = "or",
+         k: int = 10, *, wand: bool | str = False, mode: str = "or",
          cfg: IndexConfig | None = None) -> DataFrame:
     """Top-k BM25 query → DataFrame(doc_id long, score double), ordered.
 
     ``mode="or"`` (default) = ES ``match`` disjunction; ``mode="and"`` = ES
     ``match`` with ``operator=and`` — only docs containing EVERY analyzed
     query term match (same BM25 score as the disjunctive score of those
-    docs).  Works with both the exhaustive and the WAND scorer.
+    docs).  ``wand=True`` is a cost-based HINT (see :func:`choose_scorer`);
+    ``wand="force"`` always runs the block-max scorer.  Results are
+    identical for every setting.
     """
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
@@ -308,15 +336,17 @@ def topk(spark: SparkSession, generation_dir: str, query_terms: list[str],
             return empty
         idfs = {t: _idf(n_docs, df) for t, df in dfs.items()}
     k1, b = cfg.k1, cfg.b
-    scorer = _shard_wand if wand else _shard_exhaustive
     require_all = len(terms) if mode == "and" else 0
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         if idfs is None:
-            local_idfs = {t: _idf(n_docs, int(g))
-                          for t, g in zip(pdf["term"], pdf["df_g"])}
+            local_dfs = {t: int(g)
+                         for t, g in zip(pdf["term"], pdf["df_g"])}
+            local_idfs = {t: _idf(n_docs, g) for t, g in local_dfs.items()}
         else:
+            local_dfs = dfs
             local_idfs = idfs
+        scorer = choose_scorer(wand, local_dfs, n_docs)
         encs = [(r["term"], row_to_enc(r)) for _, r in pdf.iterrows()]
         return scorer(encs, local_idfs, k1, b, float(avg_dl), k, require_all)
 
@@ -327,7 +357,7 @@ def topk(spark: SparkSession, generation_dir: str, query_terms: list[str],
 
 def topk_batch(spark: SparkSession, generation_dir: str,
                queries: dict[int, list[str]], k: int = 10, *,
-               wand: bool = False, mode: str = "or",
+               wand: bool | str = False, mode: str = "or",
                cfg: IndexConfig | None = None) -> DataFrame:
     """Top-k BM25 for a whole query SET in ONE Spark action →
     DataFrame(query_id long, rank long, doc_id long, score double).
@@ -369,13 +399,14 @@ def topk_batch(spark: SparkSession, generation_dir: str,
             return empty
         idfs = {t: _idf(n_docs, df) for t, df in dfs.items()}
     k1, b = cfg.k1, cfg.b
-    scorer = _shard_wand if wand else _shard_exhaustive
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         if idfs is None:
-            local_idfs = {t: _idf(n_docs, int(g))
-                          for t, g in zip(pdf["term"], pdf["df_g"])}
+            local_dfs = {t: int(g)
+                         for t, g in zip(pdf["term"], pdf["df_g"])}
+            local_idfs = {t: _idf(n_docs, g) for t, g in local_dfs.items()}
         else:
+            local_dfs = dfs
             local_idfs = idfs
         encs_all = {r["term"]: row_to_enc(r) for _, r in pdf.iterrows()}
         outs = []
@@ -384,6 +415,9 @@ def topk_batch(spark: SparkSession, generation_dir: str,
             if not encs:
                 continue
             require_all = len(terms) if mode == "and" else 0
+            scorer = choose_scorer(
+                wand, {t: local_dfs[t] for t, _ in encs
+                       if t in local_dfs}, n_docs)
             res = scorer(encs, local_idfs, k1, b, float(avg_dl), k,
                          require_all)
             res.insert(0, "query_id", qid)
@@ -415,7 +449,7 @@ def count_index(spark: SparkSession, generation_dir: str) -> int:
 
 def serve_topk(spark: SparkSession, generation_dir: str,
                query_terms: list[str], k: int = 10, *,
-               wand: bool = True, mode: str = "or") -> list:
+               wand: bool | str = True, mode: str = "or") -> list:
     """Latency-optimized point-query execution (returns collected rows).
 
     Tiny scatter-gather plans lose ~0.5s to AQE's staged re-optimization and

@@ -33,6 +33,7 @@ from .operators.query import (
     _idf,
     _shard_exhaustive,
     _shard_wand,
+    choose_scorer,
     analyze_query,
     load_config,
     load_stats,
@@ -105,7 +106,9 @@ class LocalSearcher:
         dfs = self._dfs(terms, tbl)
         idfs = {t: _idf(self.num_docs, df) for t, df in dfs.items()}
         require_all = len(terms) if mode == "and" else 0
-        scorer = _shard_wand if wand else _shard_exhaustive
+        # cost-based: wand is a hint; all-dense terms -> vectorized
+        # exhaustive (block-max cannot prune, measured ~10x faster)
+        scorer = choose_scorer(wand, dfs, self.num_docs)
 
         # rows = terms × shards (tiny): plain dict grouping, no pandas rows
         by_shard: dict[int, list] = {}
@@ -156,7 +159,6 @@ class LocalSearcher:
             return {}
         dfs = self._dfs(all_terms, tbl)
         idfs = {t: _idf(self.num_docs, df) for t, df in dfs.items()}
-        scorer = _shard_wand if wand else _shard_exhaustive
 
         by_shard: dict[int, dict] = {}
         for r in tbl.to_pylist():
@@ -170,6 +172,9 @@ class LocalSearcher:
                 if not encs:
                     continue
                 require_all = len(terms) if mode == "and" else 0
+                scorer = choose_scorer(
+                    wand, {t: dfs[t] for t, _ in encs if t in dfs},
+                    self.num_docs)
                 top = scorer(encs, idfs, self.cfg.k1, self.cfg.b,
                              float(self.avg_dl), k, require_all)
                 if len(top):

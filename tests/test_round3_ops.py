@@ -133,3 +133,31 @@ def test_topk_batch_matches_per_query(spark, tiny_index):
         single = [(i + 1, r["doc_id"]) for i, r in enumerate(
             topk(spark, gen, terms, k=5, wand=True, mode="and").collect())]
         assert sorted(got_and.get(qid, [])) == single, qid
+
+
+def test_choose_scorer_cost_model():
+    from elastic_indexer4s_spark.operators.query import (
+        _shard_exhaustive, _shard_wand, choose_scorer)
+
+    dense = {"a": 8000, "b": 9000}
+    selective = {"a": 8000, "rare": 12}
+    assert choose_scorer(False, selective, 10000) is _shard_exhaustive
+    assert choose_scorer(True, dense, 10000) is _shard_exhaustive
+    assert choose_scorer(True, selective, 10000) is _shard_wand
+    assert choose_scorer("force", dense, 10000) is _shard_wand
+    assert choose_scorer(True, {}, 10000) is _shard_exhaustive
+
+
+def test_wand_hint_and_force_identical_results(spark, tiny_index):
+    """The cost-based fallback must be invisible in results: hint, force,
+    and exhaustive return the same rows for dense AND selective queries."""
+    from elastic_indexer4s_spark.operators.query import topk
+
+    gen, _cfg = tiny_index
+    for terms in (["window", "batch", "scan"],       # dense -> fallback
+                  ["zqmarker0", "merge"]):           # selective -> wand
+        rows = {}
+        for w in (False, True, "force"):
+            rows[w] = [(r["doc_id"], round(r["score"], 9))
+                       for r in topk(spark, gen, terms, k=8, wand=w).collect()]
+        assert rows[False] == rows[True] == rows["force"], terms
