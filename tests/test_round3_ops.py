@@ -161,3 +161,15 @@ def test_wand_hint_and_force_identical_results(spark, tiny_index):
             rows[w] = [(r["doc_id"], round(r["score"], 9))
                        for r in topk(spark, gen, terms, k=8, wand=w).collect()]
         assert rows[False] == rows[True] == rows["force"], terms
+
+
+def test_batch_query_edges(spark, tiny_index):
+    from elastic_indexer4s_spark.operators.query import topk_batch
+    from elastic_indexer4s_spark.serving import LocalSearcher
+
+    gen, _cfg = tiny_index
+    assert topk_batch(spark, gen, {}, k=5).count() == 0
+    assert topk_batch(spark, gen, {7: ["zzabsenttermzz"]}, k=5).count() == 0
+    s = LocalSearcher(gen)
+    assert s.search_batch({}, k=5) == {}
+    assert s.search_batch({7: ["zzabsenttermzz"]}, k=5) == {}
