@@ -1,0 +1,107 @@
+"""ANN at scale: latency + recall@10 of IVF / LSH vs exact brute force on a
+deterministically synthesized vector table (default 200k x 64 — 100x the
+sf0.1 embeddings table), local[32].
+
+Evidence for the scale story: the bucketed paths must (a) keep recall
+useful, (b) beat brute force by roughly their candidate-cut factor, and
+(c) improve recall with learned centroids at the same probe budget.
+
+Usage: python scripts/ann_scale_bench.py [n_vectors] [dim]
+Prints one JSON line; paste the table into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+DIM = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+K = 10
+N_QUERIES = int(os.environ.get("ANN_QUERIES", "8"))
+N_CENTROIDS = 64
+
+
+def main() -> None:
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from elastic_indexer4s_spark.config import tuned_builder
+    from elastic_indexer4s_spark.operators import similarity
+
+    spark = tuned_builder("local[32]", "ann-scale",
+                          shuffle_partitions=32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # deterministic clustered corpus: 256 md5-seeded cluster directions +
+    # per-vector jitter, synthesized IN SPARK (no driver-side array)
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(), f"ann_scale_{N}_{DIM}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from elastic_indexer4s_spark.functions.hashing import md5_long
+        base = spark.range(N).select(F.col("id").alias("vec_id"))
+        comps = []
+        for d in range(DIM):
+            c = ((md5_long(F.concat_ws(":", F.lit(f"c{d}"),
+                                       (F.col("vec_id") % 256)))
+                  % 2001 - 1000) / 1000.0)
+            j = ((md5_long(F.concat_ws(":", F.lit(f"j{d}"),
+                                       F.col("vec_id"))) % 401 - 200) / 1000.0)
+            comps.append((c + j).cast("float"))
+        base.select("vec_id", F.array(*comps).alias("embedding")) \
+            .repartition(64).write.mode("overwrite").parquet(path)
+    vecs = spark.read.parquet(path)
+    q = (vecs.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+    def timed(fn, warm=1, reps=3):
+        for _ in range(warm):
+            fn().count()
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            out = fn().collect()
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        return best, out
+
+    out = {"n_vectors": N, "dim": DIM, "k": K, "n_queries": N_QUERIES}
+
+    t_bf, exact_rows = timed(
+        lambda: similarity.brute_force_topk(vecs, q, k=K, vec_col="embedding"))
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    out["brute_force_sec"] = round(t_bf, 3)
+
+    def recall(rows):
+        hits = {}
+        for r in rows:
+            if r["vec_id"] in exact.get(r["query_id"], ()):
+                hits[r["query_id"]] = hits.get(r["query_id"], 0) + 1
+        return round(sum(hits.get(qid, 0) / K for qid in exact)
+                     / len(exact), 3)
+
+    C, inv = similarity.train_ivf_centroids(vecs, N_CENTROIDS, DIM, iters=3)
+    for probe in (1, 4, 8):
+        t, rows = timed(lambda p=probe: similarity.ivf_topk(
+            vecs, q, k=K, n_centroids=N_CENTROIDS, n_probe=p, dim=DIM,
+            centroids=(C, inv)))
+        out[f"ivf{N_CENTROIDS}_probe{probe}_sec"] = round(t, 3)
+        out[f"ivf{N_CENTROIDS}_probe{probe}_recall"] = recall(rows)
+
+    t, rows = timed(lambda: similarity.lsh_topk(vecs, q, k=K,
+                                                n_planes=4, dim=DIM))
+    out["lsh4_sec"] = round(t, 3)
+    out["lsh4_recall"] = recall(rows)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
