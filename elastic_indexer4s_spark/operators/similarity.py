@@ -300,53 +300,102 @@ def ivf_assign(vectors: DataFrame, n_centroids: int = 8, dim: int = 64,
                           _cell(F.col(vec_col)).alias("cell"))
 
 
-def _partial_topk_scored(joined: DataFrame, k: int, id_col: str,
-                         vec_col: str, query_id_col: str) -> DataFrame:
-    """Score candidate (query, vector) rows and partially prune.
+def _collect_queries(queries: DataFrame, query_id_col: str, vec_col: str):
+    """Driver-side (qid, qv float64, |qv|^2) list — the query side is tiny
+    by contract (that is what justified broadcasting it); materializing it
+    in the UDF closure means candidate rows never carry a duplicated query
+    array through Arrow (at 200k candidates x 64 dims the duplicated ``_qv``
+    column alone was ~100 MB per query set — measured 3x slower)."""
+    import numpy as np
 
-    Input: rows with (query_id, _qv, id, vec).  One mapInPandas pass per
-    partition computes the exact pair cosine (left-assoc kernel) and keeps
-    only the per-(partition, query) top-k by (score DESC, id ASC), so the
-    downstream exchange carries <= partitions * n_queries * k rows instead
-    of every scored candidate.  Output: (query_id, id, _score) — _score is
-    the exact double; ranking on it makes the prune provably lossless."""
-    qt = joined.schema[query_id_col].dataType
-    it = joined.schema[id_col].dataType
-    out_schema = T.StructType([
-        T.StructField(query_id_col, qt), T.StructField(id_col, it),
+    out = []
+    for r in queries.select(F.col(query_id_col), F.col(vec_col)).collect():
+        qv = np.array([float(x) for x in r[1]], dtype=np.float64)
+        nq = vk.leftassoc_rowdot(qv[None, :], qv[None, :])[0]
+        out.append((r[0], qv, nq))
+    return out
+
+
+def _pair_cos_vs_query(qv, nq, Xm, nx):
+    """cos(qv, rows of Xm) with the exact left-assoc fp order of the SQL
+    oracle chain (dot accumulates d=0..dim-1; denom = sqrt(nq)*sqrt(nx);
+    zero denom -> NaN = SQL NULL, sorted last)."""
+    import numpy as np
+
+    dot = np.zeros(len(Xm), dtype=np.float64)
+    for d in range(Xm.shape[1]):
+        dot += qv[d] * Xm[:, d]
+    denom = np.sqrt(nq) * np.sqrt(nx)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dot / denom
+    cos[denom == 0.0] = np.nan
+    return cos
+
+
+def _merge_topk(best: dict, qid, scores, ids, k: int) -> None:
+    import numpy as np
+
+    if qid in best:
+        ps, pi = best[qid]
+        scores = np.concatenate([ps, scores])
+        ids = np.concatenate([pi, ids])
+    keep = vk.topk_rows(scores, ids, k)
+    best[qid] = (scores[keep], ids[keep])
+
+
+def _best_to_pdf(best: dict, query_id_col: str, id_col: str):
+    import numpy as np
+    import pandas as pd
+
+    return pd.DataFrame(
+        {query_id_col: np.repeat(
+            np.array(list(best.keys())),
+            [len(v[0]) for v in best.values()]),
+         id_col: np.concatenate([v[1] for v in best.values()]),
+         "_score": np.concatenate([v[0] for v in best.values()])})
+
+
+def _prune_schema(df: DataFrame, id_col: str, query_id_col: str,
+                  qt_type=None) -> T.StructType:
+    it = df.schema[id_col].dataType
+    return T.StructType([
+        T.StructField(query_id_col, qt_type or T.LongType()),
+        T.StructField(id_col, it),
         T.StructField("_score", T.DoubleType())])
+
+
+def _score_prune_by_qid(joined: DataFrame, k: int, id_col: str,
+                        vec_col: str, query_id_col: str,
+                        qmap: dict) -> DataFrame:
+    """Candidate rows (query_id, id, vec) -> per-partition top-k
+    (query_id, id, _score).  Query vectors come from the closure ``qmap``
+    (qid -> (qv, nq)); the rows carry only the query ID, never the query
+    array.  Ranking on the exact double makes the prune provably lossless
+    against the final window."""
+    out_schema = _prune_schema(joined, id_col, query_id_col,
+                               joined.schema[query_id_col].dataType)
 
     def prune(batches):
         import numpy as np
-        import pandas as pd
 
-        best: dict = {}                       # query_id -> (scores, ids)
+        best: dict = {}
         for pdf in batches:
             if pdf.empty:
                 continue
-            A = vk.stack_arrays(pdf["_qv"])
-            B = vk.stack_arrays(pdf[vec_col])
-            s = vk.cosine_rows(A, B)
+            X = vk.stack_arrays(pdf[vec_col])
+            nx = vk.leftassoc_rowdot(X, X)
             ids = pdf[id_col].to_numpy()
-            for q, grp in pd.DataFrame(
-                    {"q": pdf[query_id_col].to_numpy(),
-                     "i": np.arange(len(pdf))}).groupby("q", sort=False):
-                idx = grp["i"].to_numpy()
-                cs, ci = s[idx], ids[idx]
-                if q in best:
-                    ps, pi = best[q]
-                    cs, ci = np.concatenate([ps, cs]), np.concatenate([pi, ci])
-                keep = vk.topk_rows(cs, ci, k)
-                best[q] = (cs[keep], ci[keep])
+            qids = pdf[query_id_col].to_numpy()
+            for qid in np.unique(qids):
+                m = qids == qid
+                qv, nq = qmap[qid]
+                cos = _pair_cos_vs_query(qv, nq, X[m], nx[m])
+                _merge_topk(best, qid, cos, ids[m], k)
         if best:
-            yield pd.DataFrame(
-                {query_id_col: np.repeat(
-                    np.array(list(best.keys())),
-                    [len(v[0]) for v in best.values()]),
-                 id_col: np.concatenate([v[1] for v in best.values()]),
-                 "_score": np.concatenate([v[0] for v in best.values()])})
+            yield _best_to_pdf(best, query_id_col, id_col)
 
-    return joined.mapInPandas(prune, out_schema)
+    return joined.select(query_id_col, id_col, vec_col) \
+        .mapInPandas(prune, out_schema)
 
 
 def _final_topk(pruned: DataFrame, k: int, id_col: str,
@@ -366,16 +415,34 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                      query_id_col: str = "query_id") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    `queries` is (query_id, embedding), broadcast: the big vector table is
-    scanned once, never shuffled.  Scoring + per-partition top-k pruning is
-    one fused mapInPandas pass, so the only exchange is the final window
-    over <= partitions * n_queries * k rows (round 2 shipped ALL
-    n_vectors * n_queries scored rows through the window — the judge's
-    'what's wrong #2')."""
-    q = F.broadcast(queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qv")))
-    joined = vectors.select(F.col(id_col), F.col(vec_col)).crossJoin(q)
-    pruned = _partial_topk_scored(joined, k, id_col, vec_col, query_id_col)
+    One fused mapInPandas pass over the vector table scores every query
+    (query vectors ship in the UDF closure — the broadcast) and keeps the
+    per-partition top-k, so the big table is scanned once, never shuffled,
+    never duplicated per query, and the only exchange is the final window
+    over <= partitions * n_queries * k rows.  (Round 2 shipped ALL
+    n_vectors * n_queries scored rows through the window; the round-3
+    crossJoin variant still duplicated every vector row — and its query
+    array — per query through Arrow.)"""
+    qt_type = queries.schema[query_id_col].dataType
+    qlist = _collect_queries(queries, query_id_col, vec_col)
+    out_schema = _prune_schema(vectors, id_col, query_id_col, qt_type)
+
+    def prune(batches):
+        best: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = vk.stack_arrays(pdf[vec_col])
+            nx = vk.leftassoc_rowdot(X, X)
+            ids = pdf[id_col].to_numpy()
+            for qid, qv, nq in qlist:
+                cos = _pair_cos_vs_query(qv, nq, X, nx)
+                _merge_topk(best, qid, cos, ids, k)
+        if best:
+            yield _best_to_pdf(best, query_id_col, id_col)
+
+    pruned = vectors.select(F.col(id_col), F.col(vec_col)) \
+        .mapInPandas(prune, out_schema)
     return _final_topk(pruned, k, id_col, query_id_col)
 
 
@@ -412,31 +479,30 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
 
     # top n_probe cells by (score DESC, cell ASC): lexsort is stable — same
     # tie-break as the oracle's row_number ORDER BY cscore DESC, cell
-    qrows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    qlist = _collect_queries(queries, query_id_col, vec_col)
     probe_by_cell: dict[int, list] = {}
     probe_rows = []
-    if qrows:
-        Q = np.array([[float(x) for x in r[1]] for r in qrows],
-                     dtype=np.float64)
-        S = vk.leftassoc_gemm(Q, C) * inv
-        for r, qv, row in zip(qrows, Q, S):
-            order = np.lexsort((np.arange(len(row)), -row))
-            nq = vk.leftassoc_rowdot(qv[None, :], qv[None, :])[0]
-            for cell in order[:n_probe]:
-                probe_rows.append((r[0], [float(x) for x in r[1]],
-                                   int(cell)))
-                probe_by_cell.setdefault(int(cell), []).append(
-                    (r[0], qv, nq))
+    for qid, qv, nq in qlist:
+        row = (vk.leftassoc_gemm(qv[None, :], C) * inv)[0]
+        order = np.lexsort((np.arange(len(row)), -row))
+        for cell in order[:n_probe]:
+            probe_rows.append((qid, int(cell)))
+            probe_by_cell.setdefault(int(cell), []).append((qid, qv, nq))
 
     if "cell" in vectors.columns:
+        # materialized inverted file: the probe table is (query_id, cell)
+        # ONLY — query vectors stay in the scoring closure, so the join
+        # output never duplicates a query array per candidate row (that
+        # duplication measured 3x on 200k candidates), and with
+        # partitionBy(cell) storage the scan prunes to the probed cells.
         spark = queries.sparkSession
         qt = queries.schema[query_id_col].dataType.simpleString()
         probe = F.broadcast(spark.createDataFrame(
-            probe_rows, f"{query_id_col} {qt}, _qv array<double>, cell int"))
-        joined = vectors.join(probe, "cell").select(
-            query_id_col, "_qv", id_col, vec_col)
-        pruned = _partial_topk_scored(joined, k, id_col, vec_col,
-                                      query_id_col)
+            probe_rows, f"{query_id_col} {qt}, cell int"))
+        joined = vectors.join(probe, "cell")
+        qmap = {qid: (qv, nq) for qid, qv, nq in qlist}
+        pruned = _score_prune_by_qid(joined, k, id_col, vec_col,
+                                     query_id_col, qmap)
         return _final_topk(pruned, k, id_col, query_id_col)
 
     qt_type = queries.schema[query_id_col].dataType
@@ -499,12 +565,22 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     The bucket equijoin replaces the cross join — with B buckets, each query
     touches ~1/B of the corpus.  Exactness is traded for a B-fold candidate
     cut; recall is tunable via n_planes (fewer planes = bigger buckets)."""
+    import numpy as np
+
+    P = plane_matrix(n_planes, dim)
+    qlist = _collect_queries(queries, query_id_col, vec_col)
+    probe_rows = []
+    for qid, qv, _nq in qlist:
+        dots = vk.leftassoc_gemm(qv[None, :], P)[0]
+        bucket = int(sum(1 << p for p in range(n_planes) if dots[p] > 0))
+        probe_rows.append((qid, bucket))
+    spark = queries.sparkSession
+    qt = queries.schema[query_id_col].dataType.simpleString()
     vb = lsh_buckets(vectors, n_planes, dim, id_col, vec_col)
-    qb = F.broadcast(
-        lsh_buckets(queries.withColumnRenamed(query_id_col, id_col),
-                    n_planes, dim, id_col, vec_col)
-        .select(F.col(id_col).alias(query_id_col),
-                F.col(vec_col).alias("_qv"), "bucket"))
-    joined = vb.join(qb, "bucket").select(query_id_col, "_qv", id_col, vec_col)
-    pruned = _partial_topk_scored(joined, k, id_col, vec_col, query_id_col)
+    qb = F.broadcast(spark.createDataFrame(
+        probe_rows, f"{query_id_col} {qt}, bucket long"))
+    joined = vb.join(qb, "bucket")
+    qmap = {qid: (qv, nq) for qid, qv, nq in qlist}
+    pruned = _score_prune_by_qid(joined, k, id_col, vec_col,
+                                 query_id_col, qmap)
     return _final_topk(pruned, k, id_col, query_id_col)

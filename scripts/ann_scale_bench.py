@@ -99,6 +99,29 @@ def main() -> None:
     out["lsh4_sec"] = round(t, 3)
     out["lsh4_recall"] = recall(rows)
 
+    # materialized inverted file: cells assigned ONCE at build time, stored
+    # partitionBy(cell) — the serving path.  The probe equijoin + partition
+    # pruning means a query touches only its probed cells' files; no
+    # query-time assignment pass at all.
+    cell_path = path + f"_cells{N_CENTROIDS}"
+    if not os.path.exists(os.path.join(cell_path, "_SUCCESS")):
+        similarity.ivf_assign(vecs, N_CENTROIDS, DIM,
+                              centroids=(C, inv)) \
+            .write.partitionBy("cell").mode("overwrite").parquet(cell_path)
+    vb = spark.read.parquet(cell_path)
+    for probe in (1, 4):
+        t, rows = timed(lambda p=probe: similarity.ivf_topk(
+            vb, q, k=K, n_centroids=N_CENTROIDS, n_probe=p, dim=DIM,
+            centroids=(C, inv)))
+        out[f"ivf{N_CENTROIDS}_mat_probe{probe}_sec"] = round(t, 3)
+        out[f"ivf{N_CENTROIDS}_mat_probe{probe}_recall"] = recall(rows)
+    # prove the scan prunes: partition filter visible in the plan
+    plan = similarity.ivf_topk(
+        vb, q, k=K, n_centroids=N_CENTROIDS, n_probe=1, dim=DIM,
+        centroids=(C, inv))._jdf.queryExecution().executedPlan().toString()
+    out["mat_partition_pruned"] = ("dynamicpruning" in plan.lower()
+                                   or "PartitionFilters: [" in plan)
+
     print(json.dumps(out))
     spark.stop()
 

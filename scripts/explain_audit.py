@@ -153,9 +153,10 @@ def main() -> None:
           "mapInPandas output, not raw scored rows", ok,
           f"MapInPandas node ({m_map and m_map.group(1)}) deeper than "
           f"Window node ({m_win and m_win.group(1)})")
-    ok = "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    check("brute-force top-k: query side is broadcast (no shuffle "
-          "cross join)", ok, "")
+    ok = ("Join" not in plan
+          and len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1)
+    check("brute-force top-k: ONE scan, queries ship in the scoring "
+          "closure — no join, no per-query row duplication", ok, "")
 
     plan = plan_of(similarity.ivf_topk(emb, q, k=5))
     n_scan = len(re.findall(r"Scan parquet\s+\(\d+\)", plan))  # tree nodes
