@@ -55,12 +55,18 @@ def _inner_path(scheme: str, netloc: str, urlpath: str, rest: str,
     """Re-derive the fs-internal path the way the cached client's creation
     call did: from_uri strips the authority for authority-bearing schemes
     (hdfs://host:8020/a/b -> "/a/b") but keeps the bucket for s3-style
-    stores; the fsspec fallback historically keeps the raw rest."""
+    stores; the fsspec fallback historically keeps the raw rest.
+
+    from_uri also percent-DECODES the path (``%20`` -> space), so the
+    from_uri-style branches must unquote too — otherwise the same URI
+    resolves to two different inner paths depending on cache state."""
     if style == "fsspec":
         return rest
+    from urllib.parse import unquote
+
     if scheme in _BUCKET_IN_PATH:
-        return netloc + urlpath
-    return urlpath or "/"
+        return unquote(netloc) + unquote(urlpath)
+    return unquote(urlpath) or "/"
 
 
 def resolve(path: str) -> tuple[pafs.FileSystem, str]:

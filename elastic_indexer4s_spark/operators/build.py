@@ -339,7 +339,13 @@ def tokenized_docs_tf(df: DataFrame, cfg: IndexConfig,
                     names=["sha256", "dl", "terms", "tfs"])
 
         dtok = distinct.mapInArrow(dcombine, schema=dschema)
-        joined = (df.select(*base_cols).join(dtok, "sha256")
+        # null-safe (<=>) equi-join: sha2(NULL) is NULL on BOTH sides, and a
+        # plain equi-join would silently drop null-content docs from the
+        # index in this mode only (the default path keeps them) — <=> still
+        # hash-joins, so the physical plan is unchanged for non-null keys.
+        joined = (df.select(*base_cols)
+                  .join(dtok.withColumnRenamed("sha256", "_dsha"),
+                        F.col("sha256").eqNullSafe(F.col("_dsha")))
                   .select(*out_names))
         return with_doc_ids(joined, list(cfg.doc_key), cfg.num_shards)
     if analyzer is None:

@@ -124,7 +124,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         hot = (sh.groupBy("ngram").agg(F.count(F.lit(1)).alias("_df"))
                .filter(F.col("_df") > max_shingle_df).select("ngram"))
         if observer is not None:
-            hot = hot.persist()
+            # no persist: the hot frame is tiny by construction (shingles
+            # above a 10k df cutoff), and a persist here leaked cached
+            # partitions for the session lifetime across repeated calls —
+            # recomputing the small agg once for the count is cheaper.
             n_hot = hot.count()
             if n_hot:
                 _LOG.warning(

@@ -401,10 +401,20 @@ def _score_prune_by_qid(joined: DataFrame, k: int, id_col: str,
 def _final_topk(pruned: DataFrame, k: int, id_col: str,
                 query_id_col: str) -> DataFrame:
     """Global top-k window over the (tiny) pruned candidate set.  Ranks by
-    the exact score; emits the rounded display score."""
+    the exact score; emits the rounded display score.
+
+    Zero-norm vectors score NaN in the kernels (the SQL twin's
+    ``nullif(denom, 0)`` NULL) — and Spark orders NaN GREATER than every
+    double, so a NaN candidate surviving the partition prune would rank #1
+    while the NumPy prune (lexsort) and the oracle (NULLS LAST) both sort
+    it last.  Map NaN -> NULL first so ``desc_nulls_last`` gives all three
+    the same order."""
+    score = F.when(F.isnan("_score"), F.lit(None).cast("double")) \
+        .otherwise(F.col("_score"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("_score").desc_nulls_last(), F.col(id_col).asc())
-    return (pruned.withColumn("rank", F.row_number().over(w))
+    return (pruned.withColumn("_score", score)
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id_col, "rank", id_col,
                     F.round(F.col("_score"), 6).alias("cosine")))

@@ -1,0 +1,113 @@
+"""Round-4 fixes (VERDICT r3 + ADVICE): NaN ordering in ANN top-k,
+null-content docs under EI4S_TOK_DEDUP, fs cache-hit path parity,
+observer persist leak."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from elastic_indexer4s_spark.operators import dedup, similarity
+
+
+# ---------------------------------------------------------------------------
+# ADVICE medium: zero-norm vectors must rank LAST (NaN -> NULL), not first
+# ---------------------------------------------------------------------------
+
+def _vecs(spark, rows, dim=8):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>")
+
+
+def test_zero_norm_vector_ranks_last_brute_force(spark):
+    dim = 8
+    base = [0.0] * dim
+    rows = [(0, [1.0] + base[1:]),
+            (1, [0.9, 0.1] + base[2:]),
+            (2, base)]                       # zero-norm -> NaN cosine
+    vecs = _vecs(spark, rows, dim)
+    q = (vecs.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.brute_force_topk(vecs, q, k=3, id_col="vec_id")
+    got = [(r["rank"], r["vec_id"], r["cosine"])
+           for r in out.orderBy("rank").collect()]
+    assert [g[1] for g in got] == [0, 1, 2]
+    assert got[0][2] == pytest.approx(1.0)
+    assert got[2][2] is None                 # NULL score, NULLS LAST
+
+
+def test_zero_norm_vector_ranks_last_ivf(spark):
+    dim = 8
+    # zero vector lands in cell argmax(all-zero scores) = 0; make the query
+    # probe every cell so the zero vector is always a candidate
+    rows = [(i, [float(i == j) for j in range(dim)]) for i in range(4)]
+    rows.append((9, [0.0] * dim))
+    vecs = _vecs(spark, rows, dim)
+    q = (vecs.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.ivf_topk(vecs, q, k=5, n_centroids=4, n_probe=4, dim=dim)
+    got = out.orderBy("rank").collect()
+    assert got[0]["vec_id"] == 0
+    # the zero vector must be the LAST ranked row with a NULL score
+    assert got[-1]["vec_id"] == 9 and got[-1]["cosine"] is None
+
+
+# ---------------------------------------------------------------------------
+# ADVICE low: EI4S_TOK_DEDUP=1 must not drop null-content docs
+# ---------------------------------------------------------------------------
+
+def test_tok_dedup_keeps_null_content_docs(spark, tmp_path, monkeypatch):
+    from elastic_indexer4s_spark.config import IndexConfig
+    from elastic_indexer4s_spark.operators.build import build_index
+    from elastic_indexer4s_spark.results import RunResult
+
+    rows = [("r", f"p{i}", "c", "py", f"alpha beta doc{i}") for i in range(6)]
+    rows.append(("r", "pnull", "c", "py", None))
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    counts = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("EI4S_TOK_DEDUP", flag)
+        gen = str(tmp_path / f"gen_{flag}")
+        res = build_index(spark, df, IndexConfig(num_shards=2), gen)
+        assert isinstance(res, RunResult), str(res)
+        doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+        counts[flag] = doclen.count()
+    assert counts["0"] == counts["1"] == 7
+
+
+# ---------------------------------------------------------------------------
+# ADVICE low: fs cache hit must derive the same inner path as the miss
+# ---------------------------------------------------------------------------
+
+def test_fs_resolve_unquotes_on_cache_hit(tmp_path):
+    from elastic_indexer4s_spark import fs as FS
+
+    d = tmp_path / "a b"
+    d.mkdir()
+    (d / "f.txt").write_text("x")
+    uri = f"file://{tmp_path}/a%20b/f.txt"
+    FS._FS_CACHE.pop("file://", None)        # force the miss path first
+    _, p_miss = FS.resolve(uri)
+    _, p_hit = FS.resolve(uri)               # now served from cache
+    assert p_miss == p_hit
+    assert FS.exists(uri)                    # decoded path really resolves
+
+
+# ---------------------------------------------------------------------------
+# ADVICE low: observer path must not leak cached partitions
+# ---------------------------------------------------------------------------
+
+def test_ngram_observer_does_not_leak_persisted_frames(spark):
+    rows = [(i, f"alpha beta gamma unique{i} tail{i} end{i}")
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    for _ in range(3):
+        dedup.ngram_jaccard_pairs(
+            df, threshold=0.0, max_shingle_df=2,
+            observer=lambda e: None).collect()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after == before
