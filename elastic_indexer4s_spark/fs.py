@@ -131,6 +131,33 @@ def delete_file(path: str) -> None:
     fs.delete_file(p)
 
 
+def create_exclusive(path: str, data: bytes = b"") -> bool:
+    """Create-if-absent: True when THIS call created the file, False when it
+    already existed — the primitive mutual-exclusion building block for the
+    alias-manifest lock.  Local filesystems get a true O_EXCL create (atomic
+    even across processes); HDFS create() likewise fails on an existing
+    path.  Object stores without conditional puts fall back to a
+    check-then-write, which narrows but cannot close the race — documented
+    at the caller (plans/catalog).
+    """
+    fs, p = resolve(path)
+    if isinstance(fs, pafs.LocalFileSystem):
+        import os
+
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return True
+    if fs.get_file_info(p).type != pafs.FileType.NotFound:
+        return False
+    with fs.open_output_stream(p) as f:
+        f.write(data)
+    return True
+
+
 def move(src: str, dst: str) -> None:
     """Rename (atomic on POSIX/HDFS; copy+delete on object stores)."""
     fs, s = resolve(src)

@@ -38,6 +38,8 @@ class IndexWithInfo:
 @dataclass
 class GenerationCatalog:
     root: str
+    lock_timeout_s: float = 10.0     # give up acquiring the manifest lock
+    lock_stale_s: float = 30.0       # break locks older than this (dead writer)
 
     # -- generation registration ------------------------------------------
 
@@ -74,13 +76,58 @@ class GenerationCatalog:
         FS.write_json(FS.join(self.root, ALIAS_MANIFEST), aliases,
                       atomic=True)
 
+    def _mutate_aliases(self, fn) -> None:
+        """Read-modify-write of the alias manifest under an exclusive lock
+        file, so concurrent writers (a streaming drain registering a segment
+        per micro-batch + a compaction flipping the alias) serialize instead
+        of losing each other's updates — the final rename alone only made
+        each PUBLISH atomic, not the read-modify-write.
+
+        Protocol: create ``_aliases.json.lock`` with create-if-absent
+        semantics (O_EXCL locally, create-fails-on-existing on HDFS; object
+        stores degrade to check-then-write — use a store with conditional
+        puts for multi-writer setups there); retry with backoff up to
+        ``lock_timeout_s``; a lock older than ``lock_stale_s`` is presumed
+        abandoned (writer died mid-mutation) and is broken.  The mutation
+        itself stays tiny (read json, mutate dict, atomic-rename publish),
+        so lock hold time is milliseconds.
+        """
+        import time as _time
+
+        lock = FS.join(self.root, ALIAS_MANIFEST + ".lock")
+        FS.mkdirs(self.root)
+        deadline = _time.monotonic() + self.lock_timeout_s
+        while not FS.create_exclusive(
+                lock, str(_time.time()).encode()):
+            try:
+                held_since = float(FS.read_text(lock))
+                if _time.time() - held_since > self.lock_stale_s:
+                    FS.delete_file(lock)     # break an abandoned lock
+                    continue
+            except (FileNotFoundError, OSError, ValueError):
+                continue                     # holder released / mid-create
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"alias manifest lock {lock} held for > "
+                    f"{self.lock_timeout_s}s")
+            _time.sleep(0.005)
+        try:
+            a = self._read_aliases()
+            fn(a)
+            self._write_aliases(a)
+        finally:
+            try:
+                FS.delete_file(lock)
+            except (FileNotFoundError, OSError):
+                pass
+
     def add_alias(self, alias: str, index: str) -> None:
         """`EsOpsClientApi.scala:83-84` addAliasToIndex."""
-        a = self._read_aliases()
-        members = a.setdefault(alias, [])
-        if index not in members:
-            members.append(index)
-        self._write_aliases(a)
+        def mut(a):
+            members = a.setdefault(alias, [])
+            if index not in members:
+                members.append(index)
+        self._mutate_aliases(mut)
 
     def set_alias(self, alias: str, indices: list[str]) -> None:
         """Replace the alias' ENTIRE membership in one atomic manifest
@@ -91,21 +138,21 @@ class GenerationCatalog:
         concurrent reader sees either the old set or the new set, never a
         mixture (an add followed by N separate removes exposes old+new
         simultaneously — double counting every doc in between)."""
-        a = self._read_aliases()
-        if indices:
-            a[alias] = list(dict.fromkeys(indices))
-        else:
-            a.pop(alias, None)
-        self._write_aliases(a)
+        def mut(a):
+            if indices:
+                a[alias] = list(dict.fromkeys(indices))
+            else:
+                a.pop(alias, None)
+        self._mutate_aliases(mut)
 
     def remove_alias(self, alias: str, index: str) -> None:
         """`EsOpsClientApi.scala:86-87` removeAliasFromIndex."""
-        a = self._read_aliases()
-        if alias in a and index in a[alias]:
-            a[alias].remove(index)
-            if not a[alias]:
-                del a[alias]
-        self._write_aliases(a)
+        def mut(a):
+            if alias in a and index in a[alias]:
+                a[alias].remove(index)
+                if not a[alias]:
+                    del a[alias]
+        self._mutate_aliases(mut)
 
     # -- scans (A9-A11) ------------------------------------------------------
 
@@ -151,14 +198,13 @@ class GenerationCatalog:
     def delete_index(self, index: str) -> None:
         """`EsOpsClientApi.scala:60-61`."""
         FS.delete_dir(self.path(index))
-        # drop any alias entries pointing at it
-        a = self._read_aliases()
-        changed = False
-        for al in list(a):
-            if index in a[al]:
-                a[al].remove(index)
-                changed = True
-                if not a[al]:
-                    del a[al]
-        if changed:
-            self._write_aliases(a)
+
+        # drop any alias entries pointing at it (under the same lock as
+        # every other manifest mutation)
+        def mut(a):
+            for al in list(a):
+                if index in a[al]:
+                    a[al].remove(index)
+                    if not a[al]:
+                        del a[al]
+        self._mutate_aliases(mut)

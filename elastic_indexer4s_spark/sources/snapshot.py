@@ -56,7 +56,10 @@ class TableSnapshot:
     table: str                       # path or catalog table name
     snapshot_id: int
     kind: str                        # "files" | "iceberg"
-    files: tuple = field(default_factory=tuple)   # (path, size) for "files"
+    # (path, size, change_token) for "files"; the token is mtime_ns (local/
+    # HDFS) or whatever FS.ls's FileInfo exposes — None when the store
+    # provides none (then only size is checked, the pre-round-4 behavior)
+    files: tuple = field(default_factory=tuple)
 
     def to_json(self) -> dict:
         return {"table": self.table, "snapshot_id": self.snapshot_id,
@@ -65,14 +68,24 @@ class TableSnapshot:
 
     @staticmethod
     def from_json(d: dict) -> "TableSnapshot":
+        files = []
+        for f in d.get("files", []):
+            # round-3 snapshots pinned (path, size) only — stay readable,
+            # with token=None meaning "no rewrite check possible"
+            p, sz = f[0], int(f[1])
+            tok = int(f[2]) if len(f) > 2 and f[2] is not None else None
+            files.append((p, sz, tok))
         return TableSnapshot(
             table=d["table"], snapshot_id=int(d["snapshot_id"]),
-            kind=d["kind"],
-            files=tuple((p, int(sz)) for p, sz in d.get("files", [])))
+            kind=d["kind"], files=tuple(files))
 
 
-def _list_parquet_files(path: str) -> list[tuple[str, int]]:
-    out: list[tuple[str, int]] = []
+def _change_token(info: pafs.FileInfo) -> int | None:
+    return info.mtime_ns if info.mtime_ns is not None else None
+
+
+def _list_parquet_files(path: str) -> list[tuple[str, int, int | None]]:
+    out: list[tuple[str, int, int | None]] = []
     stack = [path]
     while stack:
         cur = stack.pop()
@@ -82,16 +95,19 @@ def _list_parquet_files(path: str) -> list[tuple[str, int]]:
                 if not info.base_name.startswith(("_", ".")):
                     stack.append(full)
             elif info.base_name.endswith(".parquet"):
-                out.append((full, int(info.size)))
+                out.append((full, int(info.size), _change_token(info)))
     return sorted(out)
 
 
 def capture_file_snapshot(path: str) -> TableSnapshot:
-    """Pin a parquet directory: snapshot = its exact (path, size) file list,
-    id = 60-bit md5 over the sorted list (order-independent, portable)."""
+    """Pin a parquet directory: snapshot = its exact (path, size, mtime_ns)
+    file list, id = 60-bit md5 over the sorted (path, size) list
+    (order-independent, portable; the change token is drift-check state,
+    not identity — two captures of identical data on different stores must
+    agree on the id)."""
     files = _list_parquet_files(path)
     h = hashlib.md5()
-    for p, sz in files:
+    for p, sz, _tok in files:
         h.update(f"{p}:{sz}\n".encode())
     sid = int(h.hexdigest()[:15], 16)
     return TableSnapshot(table=path, snapshot_id=sid, kind="files",
@@ -125,17 +141,26 @@ def open_snapshot(spark: SparkSession, snap: TableSnapshot) -> DataFrame:
                 .option("snapshot-id", str(snap.snapshot_id))
                 .load(snap.table))
     verify_file_snapshot(snap)
-    return spark.read.parquet(*[p for p, _ in snap.files])
+    return spark.read.parquet(*[f[0] for f in snap.files])
 
 
 def verify_file_snapshot(snap: TableSnapshot) -> None:
-    """Raise SnapshotDriftError when any pinned file vanished or changed
-    size (in-place rewrite) — the file-table analog of an expired Iceberg
-    snapshot."""
+    """Raise SnapshotDriftError when any pinned file vanished, changed size,
+    or was rewritten in place (same size, different mtime/change token) —
+    the file-table analog of an expired Iceberg snapshot.  Size alone
+    misses exactly the dangerous case (a compaction rewriting row groups to
+    the same byte length), which is why the token is part of the pin."""
     drifted = []
-    for p, sz in snap.files:
+    for f in snap.files:
+        p, sz = f[0], f[1]
+        tok = f[2] if len(f) > 2 else None
         try:
-            actual = FS.file_size(p)
+            fs, inner = FS.resolve(p)
+            info = fs.get_file_info(inner)
+            if info.type == pafs.FileType.NotFound or info.size is None:
+                drifted.append(f"{p}: missing")
+                continue
+            actual = int(info.size)
         except (FileNotFoundError, OSError, TypeError):
             # pyarrow returns a NotFound FileInfo with size=None rather
             # than raising — both shapes mean the pinned file is gone
@@ -143,6 +168,12 @@ def verify_file_snapshot(snap: TableSnapshot) -> None:
             continue
         if actual != sz:
             drifted.append(f"{p}: size {actual} != pinned {sz}")
+            continue
+        actual_tok = _change_token(info)
+        if tok is not None and actual_tok is not None and actual_tok != tok:
+            drifted.append(
+                f"{p}: rewritten in place (change token {actual_tok} != "
+                f"pinned {tok}, size unchanged)")
     if drifted:
         raise SnapshotDriftError(
             f"snapshot {snap.snapshot_id} of {snap.table!r} drifted: "

@@ -100,6 +100,69 @@ def test_fs_resolve_unquotes_on_cache_hit(tmp_path):
 # ADVICE low: observer path must not leak cached partitions
 # ---------------------------------------------------------------------------
 
+def test_alias_manifest_concurrent_writers_lose_no_updates(tmp_path):
+    """Two writers mutating the alias manifest concurrently (the streaming
+    drain registering segments + a compaction adding its generation) must
+    lose NO entries: the lock serializes read-modify-write, where the
+    round-3 code only made each final rename atomic."""
+    import threading
+
+    from elastic_indexer4s_spark.plans.catalog import GenerationCatalog
+
+    cat = GenerationCatalog(str(tmp_path / "root"))
+    n = 25
+    errs = []
+
+    def drain():
+        try:
+            for i in range(n):
+                cat.add_alias("stream_live", f"seg_{i}")
+        except Exception as e:                     # pragma: no cover
+            errs.append(e)
+
+    def compact():
+        try:
+            for i in range(n):
+                cat.add_alias("compacted", f"gen_{i}")
+                cat.add_alias("stream_live", f"cseg_{i}")
+        except Exception as e:                     # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=drain),
+               threading.Thread(target=compact)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    live = set(cat._read_aliases()["stream_live"])
+    assert live == {f"seg_{i}" for i in range(n)} \
+        | {f"cseg_{i}" for i in range(n)}
+    assert set(cat._read_aliases()["compacted"]) == \
+        {f"gen_{i}" for i in range(n)}
+    # the lock file itself must not linger
+    import os as _os
+    assert not _os.path.exists(str(tmp_path / "root" / "_aliases.json.lock"))
+
+
+def test_alias_lock_stale_breaker(tmp_path):
+    """An abandoned lock (writer died) must be broken after lock_stale_s,
+    not deadlock every future mutation."""
+    import time
+
+    from elastic_indexer4s_spark import fs as FS
+    from elastic_indexer4s_spark.plans.catalog import (ALIAS_MANIFEST,
+                                                       GenerationCatalog)
+
+    cat = GenerationCatalog(str(tmp_path / "root"), lock_timeout_s=2.0,
+                            lock_stale_s=0.2)
+    FS.mkdirs(cat.root)
+    lock = FS.join(cat.root, ALIAS_MANIFEST + ".lock")
+    assert FS.create_exclusive(lock, str(time.time() - 60).encode())
+    cat.add_alias("live", "g1")                    # breaks the stale lock
+    assert cat._read_aliases() == {"live": ["g1"]}
+
+
 def test_ngram_observer_does_not_leak_persisted_frames(spark):
     rows = [(i, f"alpha beta gamma unique{i} tail{i} end{i}")
             for i in range(5)]

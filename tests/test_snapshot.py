@@ -96,6 +96,44 @@ def test_vanished_pinned_file_is_drift(spark, tmp_path):
         open_snapshot(spark, snap)
 
 
+def test_same_size_rewrite_is_drift(spark, tmp_path):
+    """An in-place rewrite that PRESERVES byte length (a compaction
+    rewriting row groups, a same-length content fix-up) must be detected —
+    size-only verification passes it silently, which was round 3's hole."""
+    tbl = str(tmp_path / "tbl")
+    _write_corpus(spark, tbl, 20)
+    snap = capture_file_snapshot(tbl)
+    victim = snap.files[0][0]
+    with open(victim, "rb") as f:
+        data = f.read()
+    # same length, different bytes, and a bumped mtime (the rewrite itself
+    # bumps it; utime makes the test immune to fs timestamp granularity)
+    with open(victim, "wb") as f:
+        f.write(data[:-1] + bytes([data[-1] ^ 0xFF]))
+    os.utime(victim, ns=(snap.files[0][2] + 10**9,) * 2)
+    assert os.path.getsize(victim) == snap.files[0][1]
+    with pytest.raises(SnapshotDriftError, match="rewritten in place"):
+        verify_file_snapshot(snap)
+
+
+def test_legacy_size_only_snapshot_still_verifies(spark, tmp_path):
+    """Round-3 snapshot.json pinned (path, size) pairs only: they must stay
+    loadable, and verification falls back to the size-only check."""
+    from elastic_indexer4s_spark.sources.snapshot import TableSnapshot
+
+    tbl = str(tmp_path / "tbl")
+    _write_corpus(spark, tbl, 10)
+    snap = capture_file_snapshot(tbl)
+    legacy = TableSnapshot.from_json({
+        "table": snap.table, "snapshot_id": snap.snapshot_id,
+        "kind": "files",
+        "files": [[p, sz] for p, sz, _tok in snap.files]})
+    assert all(f[2] is None for f in legacy.files)
+    verify_file_snapshot(legacy)                    # size-only: passes
+    df = open_snapshot(spark, legacy)
+    assert df.count() == 10
+
+
 def test_unpinned_generation_refuses_snapshot_resume(spark, tmp_path):
     tbl = str(tmp_path / "tbl")
     gen = str(tmp_path / "gen")
