@@ -439,6 +439,44 @@ def topk_batch(spark: SparkSession, generation_dir: str,
                     "doc_id", "score"))
 
 
+def topk_hydrated(spark: SparkSession, generation_dir: str,
+                  query_terms: list[str], k: int = 10, *,
+                  wand: bool | str = False, mode: str = "or",
+                  cfg: IndexConfig | None = None,
+                  columns: list[str] | None = None) -> DataFrame:
+    """Top-k BM25 with the source DOCUMENTS attached →
+    DataFrame(rank long, doc_id long, <passthrough cols>, score double).
+
+    A search user wants the document, not its id — the reference's ES
+    search API returns ``_source`` documents
+    (`ElasticIndexer4sSpec.scala` round-trips full documents with
+    ``theSameElementsAs``), and the build's doclen table already carries
+    every source passthrough column (repo/path/commit/lang survive
+    `operators/build.py` stage_doclen) for exactly this join.
+
+    Scale shape: the k result rows BROADCAST into a join against doclen,
+    whose scan reads only ``doc_id`` + the requested columns (column
+    pruning) — the corpus-sized side streams, nothing corpus-sized
+    shuffles, and k stays driver-tiny by contract.
+
+    ``columns=None`` hydrates every passthrough column (everything except
+    the engine-internal doc_id/dl/sha256/shard).
+    """
+    res = topk(spark, generation_dir, query_terms, k,
+               wand=wand, mode=mode, cfg=cfg)
+    doclen = spark.read.parquet(FS.join(generation_dir, "doclen"))
+    if columns is None:
+        internal = {"doc_id", "dl", "sha256", "shard"}
+        columns = [c for c in doclen.columns if c not in internal]
+    # rank is fixed BEFORE the join (the join scrambles row order)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    ranked = res.withColumn("rank", F.row_number().over(w).cast("long"))
+    return (doclen.select("doc_id", *columns)
+            .join(F.broadcast(ranked), "doc_id")
+            .select("rank", "doc_id", *columns, "score")
+            .orderBy("rank"))
+
+
 def count_index(spark: SparkSession, generation_dir: str) -> int:
     """Match-all doc count (reference `EsOpsClientApi.scala:89-90`).
     The minimal explicit schema keeps this working on a zero-doc

@@ -62,16 +62,25 @@ def quality_metrics(df: DataFrame, id_col: str = "doc_id",
     text = F.col(text_col)
     toks = simple_tokens_expr(text)
     n_tokens = F.size(toks).cast("long")
-    tok_chars = F.aggregate(toks, F.lit(0).cast("long"),
-                            lambda acc, t: acc + F.length(t))
+    # token-char sum and stopword count stay in whole-stage codegen:
+    # Spark evaluates higher-order-function lambdas INTERPRETED (measured
+    # 10-30x slower than codegen regex on this repo's shingler, BENCH.md
+    # item 12), so the round-3 F.aggregate/F.filter pair was a needless CPU
+    # multiplier on a scan-bound pass.  length(array_join(toks, '')) is the
+    # exact token-char sum; tokens are [a-z0-9]+ runs joined by single
+    # spaces, so \b<stopword>\b on that string matches whole tokens only
+    # (no stopword is a substring match across a token boundary) — the
+    # count equals size(filter(toks, isin(stopwords))) by construction.
+    tok_chars = F.length(F.array_join(toks, "")).cast("long")
     avg_tok_len = F.round(tok_chars.cast("double")
                           / F.nullif(n_tokens, F.lit(0)).cast("double"), 6)
     n_chars = F.length(text).cast("long")
     stripped = F.regexp_replace(text, "[A-Za-z0-9\\s]", "")
     punct_ratio = F.round(F.length(stripped).cast("double")
                           / F.nullif(n_chars, F.lit(0)).cast("double"), 6)
-    stops = F.filter(toks, lambda t: t.isin(EN_STOPWORDS))
-    stop_ratio = F.round(F.size(stops).cast("double")
+    stop_pat = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+    n_stops = F.regexp_count(F.array_join(toks, " "), F.lit(stop_pat))
+    stop_ratio = F.round(n_stops.cast("double")
                          / F.nullif(n_tokens, F.lit(0)).cast("double"), 6)
     rules = (
         F.when((n_tokens >= 3) & (n_tokens <= 100000), 1).otherwise(0)

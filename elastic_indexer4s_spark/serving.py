@@ -69,6 +69,7 @@ class LocalSearcher:
             if FS.exists(dict_path) else None)
         self._pool = (ThreadPoolExecutor(max_workers=self.n_threads)
                       if self.n_threads > 1 else None)
+        self._doclen = None              # lazy: only hydration needs it
 
     def _dfs(self, terms: list[str], postings_tbl) -> dict[str, int]:
         import pyarrow.dataset as ds
@@ -194,6 +195,44 @@ class LocalSearcher:
             merged.sort(key=lambda sd: (-sd[0], sd[1]))
             result[qid] = [(int(d), float(s)) for s, d in merged[:k]]
         return result
+
+    def search_hydrated(self, query_terms: list[str], k: int = 10, *,
+                        wand: bool = False, mode: str = "or",
+                        columns: list[str] | None = None) -> list[dict]:
+        """Top-k with source documents attached →
+        ``[{"rank", "doc_id", "score", <passthrough cols>}, ...]``.
+
+        The serving twin of ``operators.query.topk_hydrated`` (the
+        reference's ES search returns ``_source`` documents, not ids): the
+        k hit ids filter a columnar doclen read — pyarrow pushes the
+        ``doc_id IN (...)`` predicate into row-group pruning, and only the
+        requested passthrough columns are materialized."""
+        import pyarrow.dataset as ds
+
+        hits = self.search(query_terms, k, wand=wand, mode=mode)
+        if not hits:
+            return []
+        if self._doclen is None:
+            self._doclen = FS.parquet_dataset(
+                FS.join(self.generation_dir, "doclen"),
+                format="parquet", partitioning="hive")
+        if columns is None:
+            internal = {"doc_id", "dl", "sha256", "shard"}
+            columns = [c for c in self._doclen.schema.names
+                       if c not in internal]
+        ids = [d for d, _ in hits]
+        tbl = self._doclen.to_table(
+            columns=["doc_id", *columns],
+            filter=ds.field("doc_id").isin(ids))
+        by_id = {int(r["doc_id"]): r for r in tbl.to_pylist()}
+        out = []
+        for rank, (doc_id, score) in enumerate(hits, start=1):
+            row = {"rank": rank, "doc_id": doc_id, "score": score}
+            src = by_id.get(doc_id, {})
+            for c in columns:
+                row[c] = src.get(c)
+            out.append(row)
+        return out
 
     def count(self) -> int:
         """Match-all doc count (reference `EsOpsClientApi.scala:89-90`)."""

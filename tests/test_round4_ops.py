@@ -100,6 +100,38 @@ def test_fs_resolve_unquotes_on_cache_hit(tmp_path):
 # ADVICE low: observer path must not leak cached partitions
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# VERDICT r3 missing #1: top-k result hydration
+# ---------------------------------------------------------------------------
+
+def test_topk_hydrated_matches_serving_and_carries_source(spark, tiny_index):
+    from elastic_indexer4s_spark.operators.query import topk, topk_hydrated
+    from elastic_indexer4s_spark.serving import LocalSearcher
+
+    gen, _cfg = tiny_index
+    terms = ["tokenIndex", "merge"]
+    plain = [(r["doc_id"], round(r["score"], 9))
+             for r in topk(spark, gen, terms, k=5, wand=True).collect()]
+    hyd = topk_hydrated(spark, gen, terms, k=5, wand=True).collect()
+    # same ids/scores/order as the plain query
+    assert [(r["doc_id"], round(r["score"], 9)) for r in hyd] == plain
+    assert [r["rank"] for r in hyd] == list(range(1, len(hyd) + 1))
+    # passthrough columns are populated
+    for r in hyd:
+        assert r["repo"] and r["path"] and r["lang"]
+    # serving twin returns the identical hydrated rows
+    srv = LocalSearcher(gen).search_hydrated(terms, k=5, wand=True)
+    assert [(h["rank"], h["doc_id"], round(h["score"], 9),
+             h["repo"], h["path"], h["lang"]) for h in srv] == \
+        [(r["rank"], r["doc_id"], round(r["score"], 9),
+          r["repo"], r["path"], r["lang"]) for r in hyd]
+    # column subset selection
+    sub = LocalSearcher(gen).search_hydrated(terms, k=3, columns=["path"])
+    assert set(sub[0].keys()) == {"rank", "doc_id", "score", "path"}
+    # absent term -> empty, not error
+    assert LocalSearcher(gen).search_hydrated(["zzabsenttermzz"]) == []
+
+
 def test_alias_manifest_concurrent_writers_lose_no_updates(tmp_path):
     """Two writers mutating the alias manifest concurrently (the streaming
     drain registering segments + a compaction adding its generation) must
