@@ -555,6 +555,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "vec_id", "cosine")
 
 
+def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table (OR-amplified) LSH top-k — the recall fix for the
+    single-table row (VERDICT r3 #2): 4 independent plane sets, candidate
+    union, each candidate scored once."""
+    emb = _emb(spark, sf_dir)
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = similarity.lsh_topk(emb, q, k=10, n_planes=4, dim=64, n_tables=4)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "vec_id", "cosine")
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = (emb.filter(F.col("vec_id") < 5)
@@ -769,6 +781,25 @@ def _lsh_bucket_sql(n_planes: int = 4, dim: int = 64) -> str:
         f"(CASE WHEN dot{p} > 0 THEN {1 << p} ELSE 0 END)"
         for p in range(n_planes))
     return (", ".join(dots), f"cast(0 + {bucket} AS BIGINT)")
+
+
+def _lsh_multi_sql(n_planes: int, n_tables: int,
+                   dim: int) -> tuple[str, list[str]]:
+    """(dot defs, per-table bucket exprs) — DuckDB twin of
+    similarity.lsh_buckets_multi: table t uses planes t*n_planes.. of the
+    SAME deterministic family (table 0 == the single-table bucket)."""
+    dots = []
+    for p in range(n_planes * n_tables):
+        terms = " + ".join(
+            f"(v[{d + 1}] * {_plane_const(p, d)!r})" for d in range(dim))
+        dots.append(f"0.0 + {terms} AS dot{p}")
+    buckets = []
+    for t in range(n_tables):
+        b = " + ".join(
+            f"(CASE WHEN dot{t * n_planes + p} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes))
+        buckets.append(f"cast(0 + {b} AS BIGINT)")
+    return ", ".join(dots), buckets
 
 
 _COS = ("list_dot_product({a}, {b}) / nullif(sqrt(list_dot_product({a}, {a}))"
@@ -1049,6 +1080,33 @@ r AS (SELECT query_id, vec_id, s,
 SELECT query_id, rank::BIGINT AS rank, vec_id, round(s, 6) AS cosine
 FROM r WHERE rank <= 10"""
 
+    multi_dots, multi_buckets = _lsh_multi_sql(4, 4, 64)
+    mb_defs = ", ".join(f"{b} AS b{t}" for t, b in enumerate(multi_buckets))
+    cand_unions = "\n  UNION\n".join(
+        f"  SELECT q.query_id, b.vec_id FROM b JOIN q ON b.b{t} = q.qb{t}"
+        for t in range(4))
+    cos_multi = _pair_cos_chain("q.qv", "b.v", 64)
+    oracles["ann_lsh_multi"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dots AS (SELECT vec_id, v, {multi_dots} FROM e),
+b AS (SELECT vec_id, v, {mb_defs} FROM dots),
+q AS (SELECT vec_id AS query_id, qv,
+             {', '.join(f'b{t} AS qb{t}' for t in range(4))}
+      FROM (SELECT vec_id, v AS qv, {', '.join(f'b{t}' for t in range(4))}
+            FROM b WHERE vec_id < 5)),
+cand AS (SELECT DISTINCT query_id, vec_id FROM (
+{cand_unions}
+)),
+scored AS (SELECT c.query_id, c.vec_id, {cos_multi} AS s
+           FROM cand c JOIN b ON c.vec_id = b.vec_id
+           JOIN q ON c.query_id = q.query_id),
+r AS (SELECT query_id, vec_id, s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id, rank::BIGINT AS rank, vec_id, round(s, 6) AS cosine
+FROM r WHERE rank <= 10"""
+
     ivf_defs, ivf_argmax, ivf_by_cell = _ivf_sql_parts(8, 64, "v")
     ivf_qdefs, _, _ = _ivf_sql_parts(8, 64, "qv")
     oracles["ann_ivf_cells"] = f"""
@@ -1270,6 +1328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_multi": q_ann_lsh_multi,
     "ann_ivf_cells": q_ann_ivf_cells,
     "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id": q_lang_id,

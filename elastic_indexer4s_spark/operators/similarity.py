@@ -86,6 +86,16 @@ def plane_matrix(n_planes: int, dim: int):
                      for p in range(n_planes)], dtype=np.float64)
 
 
+def plane_matrix_range(start: int, count: int, dim: int):
+    """Planes ``start .. start+count-1`` of the deterministic family — table
+    ``t`` of a multi-table LSH index uses planes ``t*n_planes ..`` so table
+    0 is exactly the single-table family (existing results unchanged)."""
+    import numpy as np
+
+    return np.array([[plane_component(p, d) for d in range(dim)]
+                     for p in range(start, start + count)], dtype=np.float64)
+
+
 # ---------------------------------------------------------------------------
 # expression twins (small-K parity oracles; NOT the scale path)
 # ---------------------------------------------------------------------------
@@ -270,6 +280,43 @@ def lsh_buckets(vectors: DataFrame, n_planes: int = 4, dim: int = 64,
                           _bucket(F.col(vec_col)).alias("bucket"))
 
 
+def lsh_buckets_multi(vectors: DataFrame, n_planes: int = 4,
+                      n_tables: int = 2, dim: int = 64,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, table, bucket): one signature per table, table ``t`` over
+    planes ``t*n_planes .. (t+1)*n_planes - 1`` of the deterministic family
+    (table 0 == the single-table signature).
+
+    All ``n_tables * n_planes`` dots come out of ONE kernel pass per Arrow
+    batch; posexplode then lays the per-table rows out NARROW (a vector's
+    table rows stay in its partition — no shuffle), which is exactly the
+    multi-table inverted file every production LSH index materializes.
+    The candidate join gets a (table, bucket) key, so two vectors collide
+    only within the same table."""
+    import numpy as np
+
+    P = plane_matrix_range(0, n_tables * n_planes, dim)
+    weights = [1 << p for p in range(n_planes)]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(emb):
+        import pandas as pd
+
+        X = vk.stack_arrays(emb, dim)
+        D = vk.leftassoc_gemm(X, P)            # (n, T*n_planes)
+        out = np.zeros((len(X), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for p, w in enumerate(weights):
+                out[:, t] += np.where(D[:, t * n_planes + p] > 0, w, 0)
+        return pd.Series(list(out))
+
+    return (vectors.select(F.col(id_col), F.col(vec_col),
+                           _buckets(F.col(vec_col)).alias("_bks"))
+            .select(F.col(id_col), F.col(vec_col),
+                    F.posexplode("_bks").alias("table", "bucket")))
+
+
 def ivf_assign(vectors: DataFrame, n_centroids: int = 8, dim: int = 64,
                id_col: str = "vec_id", vec_col: str = "embedding",
                centroids=None) -> DataFrame:
@@ -332,13 +379,19 @@ def _pair_cos_vs_query(qv, nq, Xm, nx):
     return cos
 
 
-def _merge_topk(best: dict, qid, scores, ids, k: int) -> None:
+def _merge_topk(best: dict, qid, scores, ids, k: int,
+                dedupe: bool = False) -> None:
     import numpy as np
 
     if qid in best:
         ps, pi = best[qid]
         scores = np.concatenate([ps, scores])
         ids = np.concatenate([pi, ids])
+    if dedupe:
+        # multi-table LSH: the same (qid, id) candidate arrives once per
+        # matching table with a bit-identical score — keep one
+        _, idx = np.unique(ids, return_index=True)
+        scores, ids = scores[idx], ids[idx]
     keep = vk.topk_rows(scores, ids, k)
     best[qid] = (scores[keep], ids[keep])
 
@@ -366,12 +419,13 @@ def _prune_schema(df: DataFrame, id_col: str, query_id_col: str,
 
 def _score_prune_by_qid(joined: DataFrame, k: int, id_col: str,
                         vec_col: str, query_id_col: str,
-                        qmap: dict) -> DataFrame:
+                        qmap: dict, dedupe: bool = False) -> DataFrame:
     """Candidate rows (query_id, id, vec) -> per-partition top-k
     (query_id, id, _score).  Query vectors come from the closure ``qmap``
     (qid -> (qv, nq)); the rows carry only the query ID, never the query
     array.  Ranking on the exact double makes the prune provably lossless
-    against the final window."""
+    against the final window.  ``dedupe`` drops repeated (qid, id)
+    candidates (multi-table LSH emits one per matching table)."""
     out_schema = _prune_schema(joined, id_col, query_id_col,
                                joined.schema[query_id_col].dataType)
 
@@ -390,7 +444,7 @@ def _score_prune_by_qid(joined: DataFrame, k: int, id_col: str,
                 m = qids == qid
                 qv, nq = qmap[qid]
                 cos = _pair_cos_vs_query(qv, nq, X[m], nx[m])
-                _merge_topk(best, qid, cos, ids[m], k)
+                _merge_topk(best, qid, cos, ids[m], k, dedupe=dedupe)
         if best:
             yield _best_to_pdf(best, query_id_col, id_col)
 
@@ -568,29 +622,57 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
 
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 4, dim: int = 64, id_col: str = "vec_id",
-             vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
+             vec_col: str = "embedding", query_id_col: str = "query_id",
+             n_tables: int = 1) -> DataFrame:
+    """Approximate top-k: score only vectors sharing an LSH bucket with the
+    query in at least one of ``n_tables`` independent tables.
 
     The bucket equijoin replaces the cross join — with B buckets, each query
-    touches ~1/B of the corpus.  Exactness is traded for a B-fold candidate
-    cut; recall is tunable via n_planes (fewer planes = bigger buckets)."""
+    touches ~n_tables/B of the corpus.  Single-table recall is bounded by
+    one plane set's luck (measured 0.76-0.84 at 4 planes / 200k vectors —
+    VERDICT r3); ``n_tables`` is the standard OR-amplification: miss
+    probability decays as (1-p^n_planes)^n_tables, so tables buy recall at
+    linear candidate cost while ``n_planes`` buys precision.  Candidates
+    hit by several tables are scored once (bit-identical scores dedupe in
+    the partition prune; the pruned frame dedupes again before the final
+    window — both sets are tiny)."""
     import numpy as np
 
-    P = plane_matrix(n_planes, dim)
     qlist = _collect_queries(queries, query_id_col, vec_col)
+    spark = queries.sparkSession
+    qt = queries.schema[query_id_col].dataType.simpleString()
+    qmap = {qid: (qv, nq) for qid, qv, nq in qlist}
+    if n_tables <= 1:
+        P = plane_matrix(n_planes, dim)
+        probe_rows = []
+        for qid, qv, _nq in qlist:
+            dots = vk.leftassoc_gemm(qv[None, :], P)[0]
+            bucket = int(sum(1 << p for p in range(n_planes) if dots[p] > 0))
+            probe_rows.append((qid, bucket))
+        vb = lsh_buckets(vectors, n_planes, dim, id_col, vec_col)
+        qb = F.broadcast(spark.createDataFrame(
+            probe_rows, f"{query_id_col} {qt}, bucket long"))
+        joined = vb.join(qb, "bucket")
+        pruned = _score_prune_by_qid(joined, k, id_col, vec_col,
+                                     query_id_col, qmap)
+        return _final_topk(pruned, k, id_col, query_id_col)
+
+    P = plane_matrix_range(0, n_tables * n_planes, dim)
     probe_rows = []
     for qid, qv, _nq in qlist:
         dots = vk.leftassoc_gemm(qv[None, :], P)[0]
-        bucket = int(sum(1 << p for p in range(n_planes) if dots[p] > 0))
-        probe_rows.append((qid, bucket))
-    spark = queries.sparkSession
-    qt = queries.schema[query_id_col].dataType.simpleString()
-    vb = lsh_buckets(vectors, n_planes, dim, id_col, vec_col)
+        for t in range(n_tables):
+            bucket = int(sum(1 << p for p in range(n_planes)
+                             if dots[t * n_planes + p] > 0))
+            probe_rows.append((qid, t, int(bucket)))
+    vb = lsh_buckets_multi(vectors, n_planes, n_tables, dim, id_col, vec_col)
     qb = F.broadcast(spark.createDataFrame(
-        probe_rows, f"{query_id_col} {qt}, bucket long"))
-    joined = vb.join(qb, "bucket")
-    qmap = {qid: (qv, nq) for qid, qv, nq in qlist}
+        probe_rows, f"{query_id_col} {qt}, table int, bucket long"))
+    joined = vb.join(qb, ["table", "bucket"])
     pruned = _score_prune_by_qid(joined, k, id_col, vec_col,
-                                 query_id_col, qmap)
+                                 query_id_col, qmap, dedupe=True)
+    # a candidate can reach the final window from several partitions only
+    # via its (single) vector row, but distinct tables of one vector DO
+    # stay in one partition — this distinct is a tiny-frame safety net
+    pruned = pruned.dropDuplicates([query_id_col, id_col])
     return _final_topk(pruned, k, id_col, query_id_col)

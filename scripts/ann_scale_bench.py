@@ -99,6 +99,15 @@ def main() -> None:
     out["lsh4_sec"] = round(t, 3)
     out["lsh4_recall"] = recall(rows)
 
+    # multi-table OR-amplification (VERDICT r3 #2): n_tables independent
+    # plane sets, candidates unioned, each scored once — recall target
+    # >= 0.95 at bounded candidate cost (~n_tables/2^n_planes of the corpus)
+    for nt in (4, 8):
+        t, rows = timed(lambda n=nt: similarity.lsh_topk(
+            vecs, q, k=K, n_planes=4, dim=DIM, n_tables=n))
+        out[f"lsh4x{nt}_sec"] = round(t, 3)
+        out[f"lsh4x{nt}_recall"] = recall(rows)
+
     # materialized inverted file: cells assigned ONCE at build time, stored
     # partitionBy(cell) — the serving path.  The probe equijoin + partition
     # pruning means a query touches only its probed cells' files; no

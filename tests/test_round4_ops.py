@@ -101,6 +101,46 @@ def test_fs_resolve_unquotes_on_cache_hit(tmp_path):
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# VERDICT r3 #2: multi-table OR-amplified LSH
+# ---------------------------------------------------------------------------
+
+def test_multi_table_lsh_superset_and_dedup(spark):
+    """n_tables=T candidates are a superset of every single table's; each
+    (query, id) appears once; table 0 equals the single-table family."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    rows = [(i, [float(x) for x in rng.randn(dim)]) for i in range(200)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (vecs.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    single = similarity.lsh_topk(vecs, q, k=10, n_planes=4, dim=dim)
+    multi = similarity.lsh_topk(vecs, q, k=10, n_planes=4, dim=dim,
+                                n_tables=4)
+    # no duplicate result rows
+    assert multi.count() == \
+        multi.dropDuplicates(["query_id", "vec_id"]).count()
+    # table-0 buckets of the multi index == the single-table buckets
+    mb = {(r["vec_id"]): r["bucket"]
+          for r in similarity.lsh_buckets_multi(
+              vecs, n_planes=4, n_tables=4, dim=dim)
+          .filter(F.col("table") == 0).collect()}
+    sb = {r["vec_id"]: r["bucket"]
+          for r in similarity.lsh_buckets(vecs, n_planes=4, dim=dim)
+          .collect()}
+    assert mb == sb
+    # recall vs exact is monotone: multi >= single (strict on this corpus)
+    exact = similarity.brute_force_topk(vecs, q, k=10)
+    r1 = {r["query_id"]: r["recall"] for r in
+          similarity.recall_at_k(single, exact, 10).collect()}
+    r4 = {r["query_id"]: r["recall"] for r in
+          similarity.recall_at_k(multi, exact, 10).collect()}
+    assert all(r4[qid] >= r1[qid] for qid in r1)
+    assert sum(r4.values()) > sum(r1.values())
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r3 missing #1: top-k result hydration
 # ---------------------------------------------------------------------------
 
