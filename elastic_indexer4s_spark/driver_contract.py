@@ -503,6 +503,56 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    bands=4, min_est_sim=0.5)
 
 
+# Guard-firing corpora (VERDICT r3 #1): the skew guards' at-scale code path
+# must be hash-verified on inputs that actually TRIP the caps — pruned hot
+# shingles / dropped over-cap buckets — with the oracle applying the
+# identical pruning rule.  Both corpora derive deterministically from the
+# driver's documents table on BOTH engines.
+
+#: appended to EVERY document -> its interior 3-gram shingles have df = N,
+#: far above the guarded row's max_shingle_df=40 (N >= 50 at every sf)
+NGRAM_BOILER = ("zqguard alpha shared trailer tokens appear verbatim "
+                "in every single document")
+
+#: replaces the text of every even doc_id -> N/2 identical signatures land
+#: in the same bucket in ALL bands, above the guarded row's
+#: max_bucket_size=20 (N/2 >= 25 at every sf)
+MINHASH_BOILER = ("zqsame boilerplate body repeated verbatim across half "
+                  "the corpus to overflow one lsh bucket")
+
+
+def _ngram_guarded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", F.concat(F.col("text"),
+                                       F.lit(" " + NGRAM_BOILER)).alias("text"))
+
+
+def _minhash_guarded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(MINHASH_BOILER))
+        .otherwise(F.col("text")).alias("text"))
+
+
+def q_dedup_ngram_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram Jaccard with the hot-shingle guard FIRING: every boilerplate
+    shingle has df = N > 40 and is pruned before the pair join; sizes and
+    Jaccard are computed post-prune on both engines (the documented guard
+    semantics, now value-checked instead of only exercised)."""
+    return dedup.ngram_jaccard_pairs(_ngram_guarded_docs(spark, sf_dir),
+                                     threshold=0.8, max_shingle_df=40)
+
+
+def q_dedup_minhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH with the bucket cap FIRING: the N/2 identical docs
+    share one over-cap bucket per band, so their pairs are dropped; pairs
+    among the untouched docs survive through their own buckets."""
+    return dedup.minhash_lsh_pairs(_minhash_guarded_docs(spark, sf_dir),
+                                   num_hashes=16, bands=4, min_est_sim=0.5,
+                                   max_bucket_size=20)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir), bits=16)
 
@@ -827,10 +877,11 @@ _STOPWORD_LIST = ", ".join(f"'{w}'" for w in __import__(
     fromlist=["EN_STOPWORDS"]).EN_STOPWORDS)
 
 
-def build_oracles() -> dict[str, str]:
-    h = md5_long_sql
-    ngram_cte = f"""
-toks AS (SELECT doc_id, {TOK} AS toks FROM documents),
+def _ngram_cte_for(src: str) -> str:
+    """Distinct word-3-gram shingles per doc over relation ``src`` —
+    DuckDB twin of dedup.doc_shingles."""
+    return f"""
+toks AS (SELECT doc_id, {TOK} AS toks FROM {src}),
 pos AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
         FROM toks),
 gr AS (SELECT doc_id,
@@ -839,6 +890,11 @@ gr AS (SELECT doc_id,
               lead(tok, 2) OVER w AS last3
        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
 sh AS (SELECT DISTINCT doc_id, ngram FROM gr WHERE last3 IS NOT NULL)"""
+
+
+def build_oracles() -> dict[str, str]:
+    h = md5_long_sql
+    ngram_cte = _ngram_cte_for("documents")
     lsh_dots, lsh_bucket = _lsh_bucket_sql(4, 64)
     gate_rows = ", ".join(
         f"({c}, {o if o is not None else 'CAST(NULL AS INTEGER)'}, {n})"
@@ -994,6 +1050,26 @@ JOIN sizes sa ON id_a = sa.doc_id
 JOIN sizes sb ON id_b = sb.doc_id
 WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8"""
 
+    # guard-firing twin: identical shingling over the boilerplate-trailed
+    # corpus, then the EXACT pruning rule the Spark guard applies — drop
+    # shingles with df > 40, recompute sizes post-prune
+    oracles["dedup_ngram_guarded"] = f"""
+WITH docs2 AS (SELECT doc_id, text || ' {NGRAM_BOILER}' AS text
+               FROM documents),
+{_ngram_cte_for("docs2")},
+hot AS (SELECT ngram FROM sh GROUP BY ngram HAVING count(*) > 40),
+sh2 AS (SELECT sh.doc_id, sh.ngram FROM sh
+        LEFT JOIN hot ON sh.ngram = hot.ngram WHERE hot.ngram IS NULL),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh2 a JOIN sh2 b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8"""
+
     mh1, mh2 = md5_double_longs_sql("(hs.h // 2)::VARCHAR || ':' || ngram")
     oracles["dedup_minhash_lsh"] = f"""
 WITH {ngram_cte},
@@ -1007,6 +1083,39 @@ band_sig AS (SELECT doc_id, (h // 4) AS band,
              FROM hx GROUP BY doc_id, (h // 4)),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM band_sig a JOIN band_sig b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+est AS (SELECT id_a, id_b,
+               round(avg(CASE WHEN sa.minhash = sb.minhash
+                              THEN 1.0 ELSE 0.0 END), 6) AS est_sim
+        FROM cand
+        JOIN hx sa ON sa.doc_id = id_a
+        JOIN hx sb ON sb.doc_id = id_b AND sb.h = sa.h
+        GROUP BY id_a, id_b)
+SELECT id_a, id_b, est_sim FROM est WHERE est_sim >= 0.5"""
+
+    # guard-firing twin: half the corpus is one identical text, so its
+    # signature's buckets exceed the 20-member cap in every band and are
+    # dropped (BETWEEN 2 AND 20 = the Spark guard's exact filter); pairs
+    # among the untouched docs survive through their own buckets
+    oracles["dedup_minhash_guarded"] = f"""
+WITH docs2 AS (SELECT doc_id,
+                      CASE WHEN doc_id % 2 = 0 THEN '{MINHASH_BOILER}'
+                           ELSE text END AS text
+               FROM documents),
+{_ngram_cte_for("docs2")},
+hx AS (SELECT doc_id, hs.h,
+              min(CASE WHEN hs.h % 2 = 0 THEN {mh1} ELSE {mh2} END)
+                AS minhash
+       FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h) hs
+       GROUP BY doc_id, hs.h),
+band_sig AS (SELECT doc_id, (h // 4) AS band,
+                    string_agg(minhash::VARCHAR, ',' ORDER BY h) AS bucket
+             FROM hx GROUP BY doc_id, (h // 4)),
+ok AS (SELECT band, bucket FROM band_sig GROUP BY band, bucket
+       HAVING count(*) BETWEEN 2 AND 20),
+bs AS (SELECT band_sig.* FROM band_sig JOIN ok USING (band, bucket)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bs a JOIN bs b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
 est AS (SELECT id_a, id_b,
                round(avg(CASE WHEN sa.minhash = sb.minhash
@@ -1322,6 +1431,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_guarded": q_dedup_ngram_guarded,
+    "dedup_minhash_guarded": q_dedup_minhash_guarded,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,

@@ -101,6 +101,34 @@ def test_fs_resolve_unquotes_on_cache_hit(tmp_path):
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# VERDICT r3 #1: the guard-firing contract corpora really trip the guards
+# ---------------------------------------------------------------------------
+
+def test_guarded_contract_corpora_trip_the_guards(spark):
+    """The new dedup_*_guarded contract rows are only evidence if their
+    corpora make the skew guards FIRE — the observers must report nonzero
+    pruned shingles / dropped buckets at the smallest sf (guards fire at
+    every sf by construction: df = N >= 50, bucket = N/2 >= 25)."""
+    from elastic_indexer4s_spark import driver_contract as dc
+
+    sf = "/root/testdata/sf0.001"
+    ev1 = []
+    dedup.ngram_jaccard_pairs(
+        dc._ngram_guarded_docs(spark, sf), threshold=0.8,
+        max_shingle_df=40, observer=ev1.append).collect()
+    assert ev1[0]["pruned_shingles"] > 0
+
+    ev2 = []
+    out = dedup.minhash_lsh_pairs(
+        dc._minhash_guarded_docs(spark, sf), num_hashes=16, bands=4,
+        min_est_sim=0.5, max_bucket_size=20, observer=ev2.append)
+    rows = out.collect()
+    assert ev2[0]["dropped_buckets"] >= 4      # the identical half, per band
+    # pairs among the identical (even) docs lived ONLY in dropped buckets
+    assert all(r["id_a"] % 2 == 1 or r["id_b"] % 2 == 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r3 #2: multi-table OR-amplified LSH
 # ---------------------------------------------------------------------------
 
