@@ -118,6 +118,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     invoked eagerly with ``{"op", "pruned_shingles", "max_shingle_df"}``
     (one extra small aggregation job, which is why it is opt-in rather
     than always-on); it also logs a warning when anything was pruned.
+
+    The guard-FIRING path is itself hash-verified: the
+    ``dedup_ngram_guarded`` contract row runs over a corpus whose shared
+    trailer pushes shingles over the cap, with the DuckDB oracle applying
+    the identical prune (driver_contract.py, round 4).
     """
     sh = word_ngrams(df, id_col, text_col, n)
     if max_shingle_df is not None:
@@ -228,7 +233,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     When the cap fires, pairs living ONLY in dropped buckets silently
     vanish; ``observer`` (opt-in — it costs one extra bucket-count job)
     receives ``{"op", "dropped_buckets", "max_bucket_size"}`` eagerly and
-    a warning is logged when any bucket was dropped.
+    a warning is logged when any bucket was dropped.  The cap-FIRING path
+    is hash-verified by the ``dedup_minhash_guarded`` contract row
+    (identical-text half-corpus overflows one bucket per band; the DuckDB
+    oracle applies the same BETWEEN 2 AND cap filter — round 4).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature_array(df, id_col, text_col, num_hashes, n)

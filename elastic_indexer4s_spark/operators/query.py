@@ -464,17 +464,43 @@ def topk_hydrated(spark: SparkSession, generation_dir: str,
     """
     res = topk(spark, generation_dir, query_terms, k,
                wand=wand, mode=mode, cfg=cfg)
+    # rank is fixed BEFORE the join (the join scrambles row order)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    ranked = res.withColumn("rank", F.row_number().over(w).cast("long"))
+    return hydrate_results(spark, generation_dir, ranked,
+                           columns=columns).orderBy("rank")
+
+
+def topk_batch_hydrated(spark: SparkSession, generation_dir: str,
+                        queries: dict[int, list[str]], k: int = 10, *,
+                        wand: bool | str = False, mode: str = "or",
+                        cfg: IndexConfig | None = None,
+                        columns: list[str] | None = None) -> DataFrame:
+    """:func:`topk_batch` with source documents attached →
+    DataFrame(query_id, rank, doc_id, <passthrough cols>, score).  Same
+    single-action scatter-gather; ONE broadcast join hydrates every
+    query's results together."""
+    res = topk_batch(spark, generation_dir, queries, k,
+                     wand=wand, mode=mode, cfg=cfg)
+    return hydrate_results(spark, generation_dir, res, columns=columns,
+                           lead_cols=["query_id", "rank"]) \
+        .orderBy("query_id", "rank")
+
+
+def hydrate_results(spark: SparkSession, generation_dir: str,
+                    results: DataFrame, *, columns: list[str] | None = None,
+                    lead_cols: list[str] | None = None) -> DataFrame:
+    """Attach doclen's source passthrough columns to a small result frame
+    by broadcast-joining it into a column-pruned doclen scan (the big side
+    streams; nothing corpus-sized shuffles)."""
     doclen = spark.read.parquet(FS.join(generation_dir, "doclen"))
     if columns is None:
         internal = {"doc_id", "dl", "sha256", "shard"}
         columns = [c for c in doclen.columns if c not in internal]
-    # rank is fixed BEFORE the join (the join scrambles row order)
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    ranked = res.withColumn("rank", F.row_number().over(w).cast("long"))
+    lead = lead_cols if lead_cols is not None else ["rank"]
     return (doclen.select("doc_id", *columns)
-            .join(F.broadcast(ranked), "doc_id")
-            .select("rank", "doc_id", *columns, "score")
-            .orderBy("rank"))
+            .join(F.broadcast(results), "doc_id")
+            .select(*lead, "doc_id", *columns, "score"))
 
 
 def count_index(spark: SparkSession, generation_dir: str) -> int:

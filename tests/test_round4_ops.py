@@ -200,6 +200,21 @@ def test_topk_hydrated_matches_serving_and_carries_source(spark, tiny_index):
     assert LocalSearcher(gen).search_hydrated(["zzabsenttermzz"]) == []
 
 
+def test_topk_batch_hydrated_matches_per_query(spark, tiny_index):
+    from elastic_indexer4s_spark.operators.query import (topk_batch,
+                                                         topk_batch_hydrated)
+
+    gen, _cfg = tiny_index
+    qmap = {0: ["tokenIndex", "merge"], 1: ["window", "batch"]}
+    plain = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+             for r in topk_batch(spark, gen, qmap, k=5, wand=True).collect()}
+    hyd = topk_batch_hydrated(spark, gen, qmap, k=5, wand=True).collect()
+    got = {(r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+           for r in hyd}
+    assert got == plain
+    assert all(r["repo"] and r["path"] and r["lang"] for r in hyd)
+
+
 def test_alias_manifest_concurrent_writers_lose_no_updates(tmp_path):
     """Two writers mutating the alias manifest concurrently (the streaming
     drain registering segments + a compaction adding its generation) must
