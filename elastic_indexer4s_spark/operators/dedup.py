@@ -295,10 +295,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         pairs = (a.join(b, ["band", "bucket"])
                  .filter(F.col("id_a") < F.col("id_b"))
                  .select("id_a", "id_b", "_sa", "_sb"))
-    matches = F.aggregate(
-        F.zip_with("_sa", "_sb",
-                   lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
-        F.lit(0.0), lambda acc, v: acc + v)
+    # statically unrolled match count (num_hashes is a small constant):
+    # identical left-assoc 0.0 + m0 + ... + m15 addition order as the old
+    # zip_with/aggregate pair, but whole-stage-codegen instead of
+    # interpreted HOF lambdas (VERDICT r3 minor #4) — bounded by the
+    # candidate set either way, so this removes a CPU multiplier, not a
+    # scale hazard
+    matches = F.lit(0.0)
+    for hh in range(num_hashes):
+        matches = matches + F.when(
+            F.element_at("_sa", hh + 1) == F.element_at("_sb", hh + 1),
+            1.0).otherwise(0.0)
     est = (pairs
            .dropDuplicates(["id_a", "id_b"])
            .withColumn("est_sim",
