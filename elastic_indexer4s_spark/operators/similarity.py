@@ -636,8 +636,6 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     hit by several tables are scored once (bit-identical scores dedupe in
     the partition prune; the pruned frame dedupes again before the final
     window — both sets are tiny)."""
-    import numpy as np
-
     qlist = _collect_queries(queries, query_id_col, vec_col)
     spark = queries.sparkSession
     qt = queries.schema[query_id_col].dataType.simpleString()

@@ -99,17 +99,20 @@ class GenerationCatalog:
         deadline = _time.monotonic() + self.lock_timeout_s
         while not FS.create_exclusive(
                 lock, str(_time.time()).encode()):
+            # the deadline governs EVERY retry path (including transient
+            # read failures while the holder is mid-create/mid-release),
+            # so no branch can spin past it
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"alias manifest lock {lock} held for > "
+                    f"{self.lock_timeout_s}s")
             try:
                 held_since = float(FS.read_text(lock))
                 if _time.time() - held_since > self.lock_stale_s:
                     FS.delete_file(lock)     # break an abandoned lock
                     continue
             except (FileNotFoundError, OSError, ValueError):
-                continue                     # holder released / mid-create
-            if _time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"alias manifest lock {lock} held for > "
-                    f"{self.lock_timeout_s}s")
+                pass                         # holder released / mid-create
             _time.sleep(0.005)
         try:
             a = self._read_aliases()
