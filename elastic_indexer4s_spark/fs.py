@@ -134,11 +134,14 @@ def delete_file(path: str) -> None:
 def create_exclusive(path: str, data: bytes = b"") -> bool:
     """Create-if-absent: True when THIS call created the file, False when it
     already existed — the primitive mutual-exclusion building block for the
-    alias-manifest lock.  Local filesystems get a true O_EXCL create (atomic
-    even across processes); HDFS create() likewise fails on an existing
-    path.  Object stores without conditional puts fall back to a
-    check-then-write, which narrows but cannot close the race — documented
-    at the caller (plans/catalog).
+    alias-manifest lock.  ONLY local filesystems get a true O_EXCL create
+    (atomic even across processes).  Every other filesystem — including
+    HDFS: pyarrow's open_output_stream exposes no exclusive-create flag
+    and overwrites — falls back to check-then-write, which narrows but
+    cannot close the race; multi-writer catalogs on non-local stores need
+    a store with conditional puts (the caller's owner-token re-check in
+    plans/catalog narrows the remaining window further but is not a
+    guarantee).
     """
     fs, p = resolve(path)
     if isinstance(fs, pafs.LocalFileSystem):

@@ -129,11 +129,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         hot = (sh.groupBy("ngram").agg(F.count(F.lit(1)).alias("_df"))
                .filter(F.col("_df") > max_shingle_df).select("ngram"))
         if observer is not None:
-            # no persist: the hot frame is tiny by construction (shingles
-            # above a 10k df cutoff), and a persist here leaked cached
-            # partitions for the session lifetime across repeated calls —
-            # recomputing the small agg once for the count is cheaper.
-            n_hot = hot.count()
+            # ONE aggregation either way: collect the hot list (tiny by
+            # construction — only shingles above the df cutoff), report
+            # its size, and anti-join against the driver-local relation,
+            # so the corpus-wide shingle-df agg runs once.  (A count() +
+            # anti-join pair re-ran the full agg twice; a persist fixed
+            # that but leaked cached partitions across calls.)
+            hot_rows = hot.collect()
+            n_hot = len(hot_rows)
             if n_hot:
                 _LOG.warning(
                     "ngram_jaccard skew guard pruned %d hot shingles "
@@ -141,6 +144,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                     "docs sharing only those shingles", n_hot, max_shingle_df)
             observer({"op": "ngram_jaccard", "pruned_shingles": n_hot,
                       "max_shingle_df": max_shingle_df})
+            hot = df.sparkSession.createDataFrame(
+                [(r["ngram"],) for r in hot_rows], "ngram string")
         sh = sh.join(F.broadcast(hot), "ngram", "left_anti")
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     else:

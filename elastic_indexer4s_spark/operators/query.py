@@ -439,6 +439,13 @@ def topk_batch(spark: SparkSession, generation_dir: str,
                     "doc_id", "score"))
 
 
+#: doclen columns that are engine bookkeeping, not source passthrough —
+#: the single source of truth for BOTH hydration twins (query.hydrate_results
+#: and serving.LocalSearcher.search_hydrated), so a future internal column
+#: cannot leak from one twin while the other hides it
+DOCLEN_INTERNAL_COLS = frozenset({"doc_id", "dl", "sha256", "shard"})
+
+
 def topk_hydrated(spark: SparkSession, generation_dir: str,
                   query_terms: list[str], k: int = 10, *,
                   wand: bool | str = False, mode: str = "or",
@@ -495,8 +502,8 @@ def hydrate_results(spark: SparkSession, generation_dir: str,
     streams; nothing corpus-sized shuffles)."""
     doclen = spark.read.parquet(FS.join(generation_dir, "doclen"))
     if columns is None:
-        internal = {"doc_id", "dl", "sha256", "shard"}
-        columns = [c for c in doclen.columns if c not in internal]
+        columns = [c for c in doclen.columns
+                   if c not in DOCLEN_INTERNAL_COLS]
     lead = lead_cols if lead_cols is not None else ["rank"]
     return (doclen.select("doc_id", *columns)
             .join(F.broadcast(results), "doc_id")

@@ -640,21 +640,9 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     spark = queries.sparkSession
     qt = queries.schema[query_id_col].dataType.simpleString()
     qmap = {qid: (qv, nq) for qid, qv, nq in qlist}
-    if n_tables <= 1:
-        P = plane_matrix(n_planes, dim)
-        probe_rows = []
-        for qid, qv, _nq in qlist:
-            dots = vk.leftassoc_gemm(qv[None, :], P)[0]
-            bucket = int(sum(1 << p for p in range(n_planes) if dots[p] > 0))
-            probe_rows.append((qid, bucket))
-        vb = lsh_buckets(vectors, n_planes, dim, id_col, vec_col)
-        qb = F.broadcast(spark.createDataFrame(
-            probe_rows, f"{query_id_col} {qt}, bucket long"))
-        joined = vb.join(qb, "bucket")
-        pruned = _score_prune_by_qid(joined, k, id_col, vec_col,
-                                     query_id_col, qmap)
-        return _final_topk(pruned, k, id_col, query_id_col)
-
+    # probe buckets for the (tiny, broadcast-by-contract) query side,
+    # driver-side with the same kernel; single-table keeps the leaner
+    # bucket-only frame/join (no posexplode, no table column, no dedupe)
     P = plane_matrix_range(0, n_tables * n_planes, dim)
     probe_rows = []
     for qid, qv, _nq in qlist:
@@ -662,15 +650,24 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         for t in range(n_tables):
             bucket = int(sum(1 << p for p in range(n_planes)
                              if dots[t * n_planes + p] > 0))
-            probe_rows.append((qid, t, int(bucket)))
-    vb = lsh_buckets_multi(vectors, n_planes, n_tables, dim, id_col, vec_col)
-    qb = F.broadcast(spark.createDataFrame(
-        probe_rows, f"{query_id_col} {qt}, table int, bucket long"))
-    joined = vb.join(qb, ["table", "bucket"])
+            probe_rows.append((qid, t, bucket))
+    if n_tables <= 1:
+        vb = lsh_buckets(vectors, n_planes, dim, id_col, vec_col)
+        qb = F.broadcast(spark.createDataFrame(
+            [(qid, b) for qid, _t, b in probe_rows],
+            f"{query_id_col} {qt}, bucket long"))
+        joined = vb.join(qb, "bucket")
+    else:
+        vb = lsh_buckets_multi(vectors, n_planes, n_tables, dim,
+                               id_col, vec_col)
+        qb = F.broadcast(spark.createDataFrame(
+            probe_rows, f"{query_id_col} {qt}, table int, bucket long"))
+        joined = vb.join(qb, ["table", "bucket"])
     pruned = _score_prune_by_qid(joined, k, id_col, vec_col,
-                                 query_id_col, qmap, dedupe=True)
-    # a candidate can reach the final window from several partitions only
-    # via its (single) vector row, but distinct tables of one vector DO
-    # stay in one partition — this distinct is a tiny-frame safety net
-    pruned = pruned.dropDuplicates([query_id_col, id_col])
+                                 query_id_col, qmap, dedupe=n_tables > 1)
+    if n_tables > 1:
+        # a candidate can reach the final window from several partitions
+        # only via its (single) vector row, but distinct tables of one
+        # vector DO stay in one partition — a tiny-frame safety net
+        pruned = pruned.dropDuplicates([query_id_col, id_col])
     return _final_topk(pruned, k, id_col, query_id_col)

@@ -84,21 +84,32 @@ class GenerationCatalog:
         each PUBLISH atomic, not the read-modify-write.
 
         Protocol: create ``_aliases.json.lock`` with create-if-absent
-        semantics (O_EXCL locally, create-fails-on-existing on HDFS; object
-        stores degrade to check-then-write — use a store with conditional
-        puts for multi-writer setups there); retry with backoff up to
-        ``lock_timeout_s``; a lock older than ``lock_stale_s`` is presumed
-        abandoned (writer died mid-mutation) and is broken.  The mutation
-        itself stays tiny (read json, mutate dict, atomic-rename publish),
-        so lock hold time is milliseconds.
+        semantics (true O_EXCL locally; non-local filesystems degrade to
+        check-then-write — see fs.create_exclusive — so multi-writer
+        catalogs on HDFS/object stores should use a store with conditional
+        puts); retry with backoff up to ``lock_timeout_s``; a lock older
+        than ``lock_stale_s`` is presumed abandoned (writer died
+        mid-mutation) and is broken.  The lock body carries a unique owner
+        token: ownership is re-verified immediately before the publish and
+        before the release delete, so a waiter that broke a lock held by a
+        STALLED-not-dead writer (GC pause, NFS hiccup) cannot have its own
+        fresh lock silently deleted or its update overwritten by the
+        stalled writer waking up — the staller's publish aborts instead.
+        The stale timestamp is wall-clock and advisory only (cross-host
+        skew > lock_stale_s weakens it; ownership verification is what
+        protects the manifest).  The mutation itself stays tiny (read
+        json, mutate dict, atomic-rename publish), so lock hold time is
+        milliseconds.  ``fn`` may return False to signal "nothing
+        changed"; the manifest is then left untouched.
         """
         import time as _time
+        import uuid as _uuid
 
         lock = FS.join(self.root, ALIAS_MANIFEST + ".lock")
+        token = f"{_time.time()}:{_uuid.uuid4().hex}"
         FS.mkdirs(self.root)
         deadline = _time.monotonic() + self.lock_timeout_s
-        while not FS.create_exclusive(
-                lock, str(_time.time()).encode()):
+        while not FS.create_exclusive(lock, token.encode()):
             # the deadline governs EVERY retry path (including transient
             # read failures while the holder is mid-create/mid-release),
             # so no branch can spin past it
@@ -107,29 +118,52 @@ class GenerationCatalog:
                     f"alias manifest lock {lock} held for > "
                     f"{self.lock_timeout_s}s")
             try:
-                held_since = float(FS.read_text(lock))
+                held = FS.read_text(lock)
+                held_since = float(held.split(":", 1)[0])
                 if _time.time() - held_since > self.lock_stale_s:
-                    FS.delete_file(lock)     # break an abandoned lock
+                    # break the abandoned lock ONLY if it is still the one
+                    # we judged stale (another waiter may have broken and
+                    # re-acquired it in between)
+                    if FS.read_text(lock) == held:
+                        FS.delete_file(lock)
                     continue
             except (FileNotFoundError, OSError, ValueError):
                 pass                         # holder released / mid-create
             _time.sleep(0.005)
+
+        def _owns() -> bool:
+            try:
+                return FS.read_text(lock) == token
+            except (FileNotFoundError, OSError):
+                return False
+
         try:
             a = self._read_aliases()
-            fn(a)
+            changed = fn(a)
+            if changed is False:
+                return
+            # ownership re-check right before publish: if our lock was
+            # stale-broken while we stalled, some other writer owns the
+            # manifest now — abort rather than clobber its update
+            if not _owns():
+                raise TimeoutError(
+                    f"alias manifest lock {lock} was broken while held "
+                    f"(stalled > {self.lock_stale_s}s?); aborting publish")
             self._write_aliases(a)
         finally:
-            try:
-                FS.delete_file(lock)
-            except (FileNotFoundError, OSError):
-                pass
+            if _owns():
+                try:
+                    FS.delete_file(lock)
+                except (FileNotFoundError, OSError):
+                    pass
 
     def add_alias(self, alias: str, index: str) -> None:
         """`EsOpsClientApi.scala:83-84` addAliasToIndex."""
         def mut(a):
             members = a.setdefault(alias, [])
-            if index not in members:
-                members.append(index)
+            if index in members:
+                return False                 # no-op: skip the publish
+            members.append(index)
         self._mutate_aliases(mut)
 
     def set_alias(self, alias: str, indices: list[str]) -> None:
@@ -151,10 +185,11 @@ class GenerationCatalog:
     def remove_alias(self, alias: str, index: str) -> None:
         """`EsOpsClientApi.scala:86-87` removeAliasFromIndex."""
         def mut(a):
-            if alias in a and index in a[alias]:
-                a[alias].remove(index)
-                if not a[alias]:
-                    del a[alias]
+            if alias not in a or index not in a[alias]:
+                return False                 # no-op: skip the publish
+            a[alias].remove(index)
+            if not a[alias]:
+                del a[alias]
         self._mutate_aliases(mut)
 
     # -- scans (A9-A11) ------------------------------------------------------
@@ -205,9 +240,12 @@ class GenerationCatalog:
         # drop any alias entries pointing at it (under the same lock as
         # every other manifest mutation)
         def mut(a):
+            changed = False
             for al in list(a):
                 if index in a[al]:
                     a[al].remove(index)
+                    changed = True
                     if not a[al]:
                         del a[al]
+            return changed
         self._mutate_aliases(mut)

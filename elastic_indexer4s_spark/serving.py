@@ -217,9 +217,10 @@ class LocalSearcher:
                 FS.join(self.generation_dir, "doclen"),
                 format="parquet", partitioning="hive")
         if columns is None:
-            internal = {"doc_id", "dl", "sha256", "shard"}
+            from .operators.query import DOCLEN_INTERNAL_COLS
+
             columns = [c for c in self._doclen.schema.names
-                       if c not in internal]
+                       if c not in DOCLEN_INTERNAL_COLS]
         ids = [d for d, _ in hits]
         tbl = self._doclen.to_table(
             columns=["doc_id", *columns],

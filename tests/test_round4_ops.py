@@ -278,6 +278,40 @@ def test_alias_lock_stale_breaker(tmp_path):
     assert cat._read_aliases() == {"live": ["g1"]}
 
 
+def test_alias_lock_ownership_abort_on_broken_lock(tmp_path):
+    """If our lock is stale-broken and taken over while we stall, the
+    publish must ABORT (and the foreign lock must survive our release) —
+    otherwise the stalled writer clobbers the new owner's update."""
+    import pytest as _pytest
+
+    from elastic_indexer4s_spark import fs as FS
+    from elastic_indexer4s_spark.plans.catalog import (ALIAS_MANIFEST,
+                                                       GenerationCatalog)
+
+    cat = GenerationCatalog(str(tmp_path / "root"))
+    cat.add_alias("live", "g0")
+    lock = FS.join(cat.root, ALIAS_MANIFEST + ".lock")
+
+    def stalled_then_overtaken(a):
+        # simulate: while we held the lock, a waiter judged it stale,
+        # broke it, and acquired its own
+        FS.delete_file(lock)
+        assert FS.create_exclusive(lock, b"9999999999.0:someoneelse")
+        a["live"].append("g1")
+
+    with _pytest.raises(TimeoutError, match="broken while held"):
+        cat._mutate_aliases(stalled_then_overtaken)
+    assert cat._read_aliases() == {"live": ["g0"]}   # publish aborted
+    assert FS.exists(lock)                           # foreign lock intact
+    FS.delete_file(lock)
+    # no-op mutations skip the publish entirely (manifest mtime unchanged)
+    before = FS.mtime_token(FS.join(cat.root, ALIAS_MANIFEST))
+    cat.add_alias("live", "g0")                      # already a member
+    cat.remove_alias("nosuch", "g0")                 # not present
+    cat.delete_index("never_registered")
+    assert FS.mtime_token(FS.join(cat.root, ALIAS_MANIFEST)) == before
+
+
 def test_ngram_observer_does_not_leak_persisted_frames(spark):
     rows = [(i, f"alpha beta gamma unique{i} tail{i} end{i}")
             for i in range(5)]
