@@ -634,6 +634,10 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_metrics(_docs(spark, sf_dir))
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_metrics(_docs(spark, sf_dir))
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_docs(spark, sf_dir))
 
@@ -1281,6 +1285,30 @@ SELECT doc_id, n_chars, n_tokens, avg_tok_len, punct_ratio, stop_ratio,
   )::DOUBLE / 4.0, 6) AS quality
 FROM m"""
 
+    oracles["repetition"] = f"""
+WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+           FROM documents),
+lf AS (SELECT doc_id, line FROM l WHERE length(trim(line)) > 0),
+lines AS (SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS nd
+          FROM lf GROUP BY doc_id),
+toks AS (SELECT doc_id, {TOK} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+        FROM toks),
+gr AS (SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS g,
+              lead(tok, 1) OVER w AS nxt
+       FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+bg AS (SELECT doc_id, g, count(*) AS c FROM gr WHERE nxt IS NOT NULL
+       GROUP BY doc_id, g),
+bga AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM bg GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(lines.n_lines, 0)::BIGINT AS n_lines,
+  round(coalesce((lines.n_lines - lines.nd)::DOUBLE / lines.n_lines, 0.0), 6)
+    AS dup_line_ratio,
+  round(coalesce(bga.top::DOUBLE / bga.tot, 0.0), 6) AS top_bigram_ratio
+FROM documents d
+LEFT JOIN lines ON d.doc_id = lines.doc_id
+LEFT JOIN bga ON d.doc_id = bga.doc_id"""
+
     oracles["token_counts"] = r"""
 SELECT doc_id,
   (CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1444,6 +1472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id": q_lang_id,
     "quality": q_quality,
+    "repetition": q_repetition,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,

@@ -651,15 +651,33 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             bucket = int(sum(1 << p for p in range(n_planes)
                              if dots[t * n_planes + p] > 0))
             probe_rows.append((qid, t, bucket))
-    if n_tables <= 1:
+    # MATERIALIZED inverted file: when the vector table already carries its
+    # bucket assignment (ideally stored partitionBy([table,] bucket) — the
+    # 10^9-vector serving path, mirroring ivf_topk's `cell` column), skip
+    # the query-time bucket kernel entirely: the broadcast probe equijoin
+    # partition-prunes the scan to the probed buckets.  The caller owns the
+    # contract that the stored buckets used the same plane family/params.
+    if "bucket" in vectors.columns:
+        if n_tables > 1 and "table" not in vectors.columns:
+            raise ValueError(
+                "n_tables > 1 needs a materialized `table` column next to "
+                "`bucket` (build it with lsh_buckets_multi)")
+        if n_tables <= 1 and "table" in vectors.columns:
+            raise ValueError(
+                "this is a multi-table index (`table` column present) — "
+                "pass the n_tables it was built with")
+        vb = vectors
+    elif n_tables <= 1:
         vb = lsh_buckets(vectors, n_planes, dim, id_col, vec_col)
+    else:
+        vb = lsh_buckets_multi(vectors, n_planes, n_tables, dim,
+                               id_col, vec_col)
+    if n_tables <= 1:
         qb = F.broadcast(spark.createDataFrame(
             [(qid, b) for qid, _t, b in probe_rows],
             f"{query_id_col} {qt}, bucket long"))
         joined = vb.join(qb, "bucket")
     else:
-        vb = lsh_buckets_multi(vectors, n_planes, n_tables, dim,
-                               id_col, vec_col)
         qb = F.broadcast(spark.createDataFrame(
             probe_rows, f"{query_id_col} {qt}, table int, bucket long"))
         joined = vb.join(qb, ["table", "bucket"])

@@ -95,6 +95,54 @@ def quality_metrics(df: DataFrame, id_col: str = "doc_id",
         F.round(rules.cast("double") / 4.0, 6).alias("quality"))
 
 
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    (id, n_lines, dup_line_ratio, top_bigram_ratio) where
+    ``dup_line_ratio`` = 1 - distinct/total over non-blank lines and
+    ``top_bigram_ratio`` = occurrences of the most frequent word 2-gram /
+    total 2-grams — the standard "boilerplate / degenerate repetition"
+    curation filters (a scraped page repeating one nav line, a doc looping
+    one phrase).
+
+    Scale shape: both signals are doc-keyed aggregations — explode +
+    groupBy(id[, key]) with map-side partials, skew-free because the
+    grouping key includes the unique doc id; the bigram stream comes from
+    the same zero-width-lookahead regex as the shingler (codegen, row
+    local).  Docs with no lines / no bigrams report ratio 0.
+    """
+    token = "[a-z0-9]+"
+    pat = r"\b(?=(" + token + " " + token + r"))"
+    norm = F.array_join(simple_tokens_expr(F.col(text_col)), " ")
+
+    lines = (df.select(F.col(id_col),
+                       F.explode(F.split(F.col(text_col), "\n")).alias("_l"))
+             .filter(F.length(F.trim(F.col("_l"))) > 0)
+             .groupBy(id_col)
+             .agg(F.count(F.lit(1)).alias("n_lines"),
+                  F.countDistinct("_l").alias("_nd")))
+    bigrams = (df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("_g"))
+        .groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col).agg(F.max("_c").alias("_top"),
+                             F.sum("_c").alias("_tot")))
+    return (df.select(id_col)
+            .join(lines, id_col, "left")
+            .join(bigrams, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
+                F.round(F.coalesce(
+                    (F.col("n_lines") - F.col("_nd")).cast("double")
+                    / F.col("n_lines").cast("double"),
+                    F.lit(0.0)), 6).alias("dup_line_ratio"),
+                F.round(F.coalesce(
+                    F.col("_top").cast("double") / F.col("_tot").cast("double"),
+                    F.lit(0.0)), 6).alias("top_bigram_ratio")))
+
+
 def token_counts(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """(id, ws_tokens, bpe_tokens): whitespace token count and a BPE-ish

@@ -168,6 +168,59 @@ def test_multi_table_lsh_superset_and_dedup(spark):
     assert sum(r4.values()) > sum(r1.values())
 
 
+def test_lsh_topk_materialized_index_matches_computed(spark, tmp_path):
+    """A stored multi-table inverted file (table, bucket columns, ideally
+    partitionBy on disk) must return exactly what the query-time bucket
+    computation returns — the 10^9-vector serving path, mirroring
+    ivf_topk's `cell` column."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    rows = [(i, [float(x) for x in rng.randn(dim)]) for i in range(150)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (vecs.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    path = str(tmp_path / "lsh_index")
+    similarity.lsh_buckets_multi(vecs, n_planes=4, n_tables=3, dim=dim) \
+        .write.partitionBy("table", "bucket").parquet(path)
+    mat = spark.read.parquet(path)
+    computed = similarity.lsh_topk(vecs, q, k=8, n_planes=4, dim=dim,
+                                   n_tables=3)
+    stored = similarity.lsh_topk(mat, q, k=8, n_planes=4, dim=dim,
+                                 n_tables=3)
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["cosine"])  # noqa: E731
+    assert sorted(map(key, computed.collect())) == \
+        sorted(map(key, stored.collect()))
+    # misuse guards
+    with pytest.raises(ValueError, match="multi-table index"):
+        similarity.lsh_topk(mat, q, k=8, n_planes=4, dim=dim)
+    single = similarity.lsh_buckets(vecs, n_planes=4, dim=dim)
+    with pytest.raises(ValueError, match="needs a materialized"):
+        similarity.lsh_topk(single, q, k=8, n_planes=4, dim=dim, n_tables=3)
+
+
+def test_repetition_metrics_edges(spark):
+    from elastic_indexer4s_spark.operators import textstats
+
+    rows = [
+        (0, "nav bar\nnav bar\nnav bar\nunique line"),   # 3 dup of 4 lines
+        (1, "spam spam spam spam"),                       # one bigram looped
+        (2, "all distinct words here now"),
+        (3, ""),                                          # no lines/bigrams
+        (4, "one"),                                       # 1 line, no bigram
+    ]
+    out = {r["doc_id"]: r for r in textstats.repetition_metrics(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert out[0]["n_lines"] == 4
+    assert out[0]["dup_line_ratio"] == pytest.approx(0.5)     # 4 lines, 2 distinct
+    assert out[1]["top_bigram_ratio"] == pytest.approx(1.0)   # "spam spam" x3
+    assert out[2]["dup_line_ratio"] == 0.0
+    assert out[2]["top_bigram_ratio"] == pytest.approx(0.25)
+    assert out[3]["n_lines"] == 0 and out[3]["dup_line_ratio"] == 0.0
+    assert out[4]["n_lines"] == 1 and out[4]["top_bigram_ratio"] == 0.0
+
+
 # ---------------------------------------------------------------------------
 # VERDICT r3 missing #1: top-k result hydration
 # ---------------------------------------------------------------------------
