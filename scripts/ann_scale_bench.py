@@ -108,6 +108,27 @@ def main() -> None:
         out[f"lsh4x{nt}_sec"] = round(t, 3)
         out[f"lsh4x{nt}_recall"] = recall(rows)
 
+    # materialized multi-table LSH inverted file (round 4): buckets
+    # assigned once at build, stored partitionBy(table, bucket) — the
+    # probe equijoin must partition-prune the scan, like the IVF cells
+    lsh_path = path + "_lsh4x4"
+    if not os.path.exists(os.path.join(lsh_path, "_SUCCESS")):
+        similarity.lsh_buckets_multi(vecs, n_planes=4, n_tables=4,
+                                     dim=DIM) \
+            .write.partitionBy("table", "bucket") \
+            .mode("overwrite").parquet(lsh_path)
+    lb = spark.read.parquet(lsh_path)
+    t, rows = timed(lambda: similarity.lsh_topk(
+        lb, q, k=K, n_planes=4, dim=DIM, n_tables=4))
+    out["lsh4x4_mat_sec"] = round(t, 3)
+    out["lsh4x4_mat_recall"] = recall(rows)
+    plan_lsh = similarity.lsh_topk(
+        lb, q, k=K, n_planes=4, dim=DIM,
+        n_tables=4)._jdf.queryExecution().executedPlan().toString()
+    out["lsh_mat_partition_pruned"] = (
+        "dynamicpruning" in plan_lsh.lower()
+        or "PartitionFilters: [" in plan_lsh)
+
     # materialized inverted file: cells assigned ONCE at build time, stored
     # partitionBy(cell) — the serving path.  The probe equijoin + partition
     # pruning means a query touches only its probed cells' files; no
