@@ -200,6 +200,58 @@ def test_lsh_topk_materialized_index_matches_computed(spark, tmp_path):
         similarity.lsh_topk(single, q, k=8, n_planes=4, dim=dim, n_tables=3)
 
 
+def test_repetition_metrics_property_fuzz(spark):
+    """repetition_metrics == a pure-Python reference on randomized docs
+    (repetitive and non-repetitive shapes, blank lines, punctuation)."""
+    import random
+    import re as _re
+
+    from elastic_indexer4s_spark.operators import textstats
+
+    rng = random.Random(1234)
+    # includes 1-char tokens (dropped by the tokenizer's len>=2 filter)
+    # and punctuation-bearing "words" (split into multiple tokens)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "y2", "nav", "bar",
+             "a", "7", "foo.bar", "x,y"]
+    docs = []
+    for i in range(60):
+        n_lines = rng.randint(0, 6)
+        lines = []
+        for _ in range(n_lines):
+            if rng.random() < 0.4 and lines:
+                lines.append(rng.choice(lines))          # duplicate a line
+            else:
+                lines.append(" ".join(rng.choices(words,
+                                                  k=rng.randint(0, 5))))
+        if rng.random() < 0.2:
+            lines.append("   ")                          # blank-ish line
+        docs.append((i, "\n".join(lines)))
+
+    def ref(text):
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        n = len(lines)
+        dup = round((n - len(set(lines))) / n, 6) if n else 0.0
+        # simple_tokens_expr drops tokens shorter than 2 chars
+        toks = [t for t in _re.findall(r"[a-z0-9]+", text.lower())
+                if len(t) >= 2]
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if bigrams:
+            from collections import Counter
+            c = Counter(bigrams)
+            top = round(max(c.values()) / len(bigrams), 6)
+        else:
+            top = 0.0
+        return n, dup, top
+
+    out = {r["doc_id"]: r for r in textstats.repetition_metrics(
+        spark.createDataFrame(docs, "doc_id long, text string")).collect()}
+    for i, text in docs:
+        n, dup, top = ref(text)
+        r = out[i]
+        assert (r["n_lines"], r["dup_line_ratio"],
+                r["top_bigram_ratio"]) == (n, dup, top), (i, text)
+
+
 def test_repetition_metrics_edges(spark):
     from elastic_indexer4s_spark.operators import textstats
 
