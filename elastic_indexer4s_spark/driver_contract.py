@@ -428,6 +428,31 @@ def q_engine_topk_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "repo", "path", "lang", F.round("score", 6).alias("score")))
 
 
+#: contract phrase — adjacent in ~10% of docs under the code tokenizer,
+#: while BOTH terms appear (non-adjacent) in most docs: the phrase filter
+#: does real work on top of the AND prune
+PHRASE = ["customer", "join"]
+
+
+def q_engine_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase analog (operators.query.phrase_topk): postings
+    AND-intersection prune via the real index, then one codegen instr()
+    adjacency verify on candidates' content.  Deep margin + re-selection
+    on the oracle key, like the other engine rows."""
+    from .operators.query import phrase_topk
+
+    gen = _generation_for(spark, sf_dir)
+    src = corpus_shaped(_docs(spark, sf_dir))
+    res = phrase_topk(spark, gen, src, PHRASE, k=100)
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
+    return (res.join(ids, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(10))
+
+
 def q_engine_bm25_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-tier path (serving.LocalSearcher: pyarrow direct read of the
     index artifact, NO Spark job) — must be value-identical to the DuckDB
@@ -986,6 +1011,24 @@ SELECT agg.doc_id, agg.score FROM agg JOIN cnt USING (query_id, doc_id)
 WHERE cnt.nt = {len(WORST_TERMS)}
 ORDER BY agg.score DESC, agg.doc_id LIMIT 50"""
 
+    # match_phrase: conjunctive BM25 over the phrase's terms, kept only for
+    # docs whose analyzed token stream contains the exact adjacent sequence
+    phrase_values = ("(VALUES " + ", ".join(f"(0, '{t}')" for t in PHRASE)
+                     + ") AS qs(query_id, term)")
+    needle = " " + " ".join(PHRASE) + " "
+    oracles["engine_phrase"] = f"""
+WITH {_bm25_sql(phrase_values, CODE_TOK)},
+cnt AS (SELECT query_id, doc_id, count(*) AS nt
+        FROM scored GROUP BY query_id, doc_id),
+anddocs AS (SELECT agg.doc_id, agg.score FROM agg
+            JOIN cnt USING (query_id, doc_id)
+            WHERE cnt.nt = {len(set(PHRASE))}),
+ph AS (SELECT doc_id FROM documents
+       WHERE strpos(' ' || array_to_string({CODE_TOK}, ' ') || ' ',
+                    '{needle}') > 0)
+SELECT a.doc_id, a.score FROM anddocs a JOIN ph USING (doc_id)
+ORDER BY a.score DESC, a.doc_id LIMIT 10"""
+
     # hydration: BM25 top-10 joined back to the source documents — repo is
     # the driver table's `source`, path is the corpus_shaped encoding of
     # the original doc_id (both sides derive it identically)
@@ -1453,6 +1496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_bm25_queryset": q_engine_bm25_queryset,
     "engine_bm25_local": q_engine_bm25_local,
     "engine_topk_hydrated": q_engine_topk_hydrated,
+    "engine_phrase": q_engine_phrase,
     "lifecycle_retention": q_lifecycle_retention,
     "lifecycle_alias_gate": q_lifecycle_alias_gate,
     "catalog_indices_by_age": q_catalog_indices_by_age,

@@ -439,6 +439,68 @@ def topk_batch(spark: SparkSession, generation_dir: str,
                     "doc_id", "score"))
 
 
+def phrase_topk(spark: SparkSession, generation_dir: str, source: DataFrame,
+                phrase_terms: list[str], k: int = 10, *,
+                cand_limit: int = 100_000,
+                cfg: IndexConfig | None = None,
+                id_cols: tuple[str, ...] = ("repo", "path", "commit")
+                ) -> DataFrame:
+    """ES ``match_phrase``: top-k docs containing the EXACT analyzed token
+    sequence, scored by the conjunctive BM25 of the phrase's terms →
+    DataFrame(doc_id long, score double), ordered.
+
+    The index stores no positions, so this is the classic two-phase
+    substitute:
+
+    1. **PRUNE via the index** — conjunctive (AND) postings intersection
+       over the phrase's distinct terms, keeping the top ``cand_limit``
+       candidates by score: candidates ≤ min(df of the rarest term,
+       cand_limit), and only (doc_id, score) rows leave the index.
+    2. **VERIFY adjacency on content** — candidate identity keys
+       broadcast-join into the source scan (the corpus-sized side streams,
+       content never shuffles), and the phrase test is ONE codegen
+       ``instr`` over the space-joined analyzed token stream — query-time
+       tokenization touches candidate rows only.
+
+    ``cand_limit`` is the exactness dial: results are exact whenever the
+    AND-matching doc count is under it (any phrase match IS an AND match);
+    truncation can only drop phrase docs whose conjunctive BM25 ranks
+    below ``cand_limit`` — acceptable for dense stopword phrases, raise it
+    for audits.  Reference analog: ES ``match_phrase`` (positions come
+    from Lucene there; a positional postings variant is the round-5
+    candidate).
+    """
+    cfg = cfg or load_config(generation_dir)
+    # ORDER- and MULTIPLICITY-preserving analysis: the phrase is a token
+    # SEQUENCE (analyze_query dedupes + sorts, which is right for bag-of-
+    # terms scoring but would corrupt the needle — "join customer" is not
+    # "customer join", and "beta beta" requires an actual repetition)
+    seq: list[str] = []
+    for t in phrase_terms:
+        seq.extend(tokenize_py(t, cfg.tokenizer))
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not seq:
+        return empty
+    cand = topk(spark, generation_dir, sorted(set(seq)),
+                k=cand_limit, wand=False, mode="and", cfg=cfg)
+    doclen = spark.read.parquet(FS.join(generation_dir, "doclen"))
+    keyed = cand.join(doclen.select("doc_id", *id_cols), "doc_id")
+
+    from ..functions.tokenizer import tokens_expr
+
+    norm = F.concat(F.lit(" "),
+                    F.array_join(tokens_expr(F.col("content"),
+                                             cfg.tokenizer), " "),
+                    F.lit(" "))
+    needle = " " + " ".join(seq) + " "
+    verified = (source.select(*id_cols, F.col("content"))
+                .join(F.broadcast(keyed), list(id_cols))
+                .filter(F.instr(norm, F.lit(needle)) > 0)
+                .select("doc_id", "score"))
+    return verified.orderBy(F.col("score").desc(), F.col("doc_id").asc()) \
+        .limit(k)
+
+
 #: doclen columns that are engine bookkeeping, not source passthrough —
 #: the single source of truth for BOTH hydration twins (query.hydrate_results
 #: and serving.LocalSearcher.search_hydrated), so a future internal column
