@@ -145,3 +145,21 @@ def simple_tokens_sql(col: str) -> str:
         f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'),"
         f" t -> length(t) >= 2)"
     )
+
+
+def token_ngrams_expr(col: Column, n: int) -> Column:
+    """ALL overlapping word n-grams (multiplicity-preserving, in order)
+    over the simple-token stream, as ONE codegen regex pass: the
+    space-joined tokens are scanned with a zero-width lookahead
+    ``\\b(?=(tok tok ...))`` capturing the n-gram at every token boundary.
+
+    The single source of truth for the n-gram stream — dedup.doc_shingles
+    (distinct over it) and textstats.repetition_metrics (explode of it)
+    both build on this, so the token atom can never drift between them.
+    The atom MUST mirror simple_tokens_expr's charset ([a-z0-9]+, len>=2
+    enforced upstream by the join) so captured words are exactly the
+    tokens."""
+    token = "[a-z0-9]+"
+    pat = r"\b(?=(" + " ".join([token] * n) + r"))"
+    norm = F.array_join(simple_tokens_expr(col), " ")
+    return F.regexp_extract_all(norm, F.lit(pat), 1)

@@ -493,10 +493,14 @@ def phrase_topk(spark: SparkSession, generation_dir: str, source: DataFrame,
                                              cfg.tokenizer), " "),
                     F.lit(" "))
     needle = " " + " ".join(seq) + " "
+    # dropDuplicates: duplicate identity keys in the source (a re-ingested
+    # snapshot union) would otherwise join each candidate twice and let
+    # one doc occupy two top-k slots; scores are identical per doc_id
     verified = (source.select(*id_cols, F.col("content"))
                 .join(F.broadcast(keyed), list(id_cols))
                 .filter(F.instr(norm, F.lit(needle)) > 0)
-                .select("doc_id", "score"))
+                .select("doc_id", "score")
+                .dropDuplicates(["doc_id"]))
     return verified.orderBy(F.col("score").desc(), F.col("doc_id").asc()) \
         .limit(k)
 

@@ -311,10 +311,22 @@ def lsh_buckets_multi(vectors: DataFrame, n_planes: int = 4,
                 out[:, t] += np.where(D[:, t * n_planes + p] > 0, w, 0)
         return pd.Series(list(out))
 
-    return (vectors.select(F.col(id_col), F.col(vec_col),
-                           _buckets(F.col(vec_col)).alias("_bks"))
-            .select(F.col(id_col), F.col(vec_col),
-                    F.posexplode("_bks").alias("table", "bucket")))
+    out = (vectors.select(F.col(id_col), F.col(vec_col),
+                          _buckets(F.col(vec_col)).alias("_bks"))
+           .select(F.col(id_col), F.col(vec_col),
+                   F.posexplode("_bks").alias("table", "bucket")))
+    # stamp the build params into column metadata so lsh_topk can verify a
+    # stored index was built with the SAME (n_planes, n_tables) instead of
+    # silently joining mismatched bucket spaces.  Stamped on BOTH bucket
+    # and the vector column: hive partition columns (the recommended
+    # partitionBy(table, bucket) layout) become directory names and lose
+    # field metadata on the round-trip, while data columns keep it.
+    md = {"n_planes": n_planes, "n_tables": n_tables}
+    return (out
+            .withColumn("bucket",
+                        F.col("bucket").alias("bucket", metadata=md))
+            .withColumn(vec_col,
+                        F.col(vec_col).alias(vec_col, metadata=md)))
 
 
 def ivf_assign(vectors: DataFrame, n_centroids: int = 8, dim: int = 64,
@@ -557,13 +569,20 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
         # materialized inverted file: the probe table is (query_id, cell)
         # ONLY — query vectors stay in the scoring closure, so the join
         # output never duplicates a query array per candidate row (that
-        # duplication measured 3x on 200k candidates), and with
-        # partitionBy(cell) storage the scan prunes to the probed cells.
+        # duplication measured 3x on 200k candidates).  The probed cells
+        # are known DRIVER-SIDE, so partition pruning is pushed as a
+        # STATIC `cell IN (...)` filter — round 4 found that the broadcast
+        # equijoin alone does NOT trigger dynamic partition pruning (the
+        # LocalRelation probe side has no selective predicate for DPP's
+        # heuristic), so without this literal filter the partitionBy(cell)
+        # scan read every cell while the plan merely LOOKED pruned.
         spark = queries.sparkSession
         qt = queries.schema[query_id_col].dataType.simpleString()
         probe = F.broadcast(spark.createDataFrame(
             probe_rows, f"{query_id_col} {qt}, cell int"))
-        joined = vectors.join(probe, "cell")
+        probed_cells = sorted({c for _qid, c in probe_rows})
+        joined = vectors.filter(F.col("cell").isin(probed_cells)) \
+            .join(probe, "cell")
         qmap = {qid: (qv, nq) for qid, qv, nq in qlist}
         pruned = _score_prune_by_qid(joined, k, id_col, vec_col,
                                      query_id_col, qmap)
@@ -657,7 +676,8 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     # the query-time bucket kernel entirely: the broadcast probe equijoin
     # partition-prunes the scan to the probed buckets.  The caller owns the
     # contract that the stored buckets used the same plane family/params.
-    if "bucket" in vectors.columns:
+    materialized = "bucket" in vectors.columns
+    if materialized:
         if n_tables > 1 and "table" not in vectors.columns:
             raise ValueError(
                 "n_tables > 1 needs a materialized `table` column next to "
@@ -666,12 +686,35 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             raise ValueError(
                 "this is a multi-table index (`table` column present) — "
                 "pass the n_tables it was built with")
+        # param-mismatch guard: lsh_buckets_multi stamps its build params
+        # into column metadata (bucket AND the vector column — partition
+        # columns lose metadata on the hive round-trip); a stored index
+        # queried with different n_planes/n_tables would silently join
+        # MISMATCHED bucket spaces and return near-empty results
+        meta = dict(vectors.schema[vec_col].metadata or {})
+        meta.update(vectors.schema["bucket"].metadata or {})
+        for key, val in (("n_planes", n_planes), ("n_tables", n_tables)):
+            if key in meta and int(meta[key]) != val:
+                raise ValueError(
+                    f"materialized LSH index was built with "
+                    f"{key}={int(meta[key])}, queried with {key}={val}")
         vb = vectors
     elif n_tables <= 1:
         vb = lsh_buckets(vectors, n_planes, dim, id_col, vec_col)
     else:
         vb = lsh_buckets_multi(vectors, n_planes, n_tables, dim,
                                id_col, vec_col)
+    if materialized:
+        # probed buckets are known driver-side: push STATIC partition
+        # filters so a partitionBy([table,] bucket) store actually prunes
+        # (the broadcast equijoin alone does not trigger DPP — round 4);
+        # the per-column IN lists are a superset rectangle, the join still
+        # matches exact pairs
+        vb = vb.filter(F.col("bucket").isin(
+            sorted({b for _qid, _t, b in probe_rows})))
+        if n_tables > 1:
+            vb = vb.filter(F.col("table").isin(
+                sorted({t for _qid, t, _b in probe_rows})))
     if n_tables <= 1:
         qb = F.broadcast(spark.createDataFrame(
             [(qid, b) for qid, _t, b in probe_rows],

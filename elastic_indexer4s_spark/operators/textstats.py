@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, MASK31
-from ..functions.tokenizer import simple_tokens_expr
+from ..functions.tokenizer import simple_tokens_expr, token_ngrams_expr
 
 # language marker words for the n-gram-heuristic language identifier.
 # (lang, marker) pairs; ties broken by ascending lang, zero hits -> 'und'.
@@ -112,10 +112,6 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
     the same zero-width-lookahead regex as the shingler (codegen, row
     local).  Docs with no lines / no bigrams report ratio 0.
     """
-    token = "[a-z0-9]+"
-    pat = r"\b(?=(" + token + " " + token + r"))"
-    norm = F.array_join(simple_tokens_expr(F.col(text_col)), " ")
-
     lines = (df.select(F.col(id_col),
                        F.explode(F.split(F.col(text_col), "\n")).alias("_l"))
              .filter(F.length(F.trim(F.col("_l"))) > 0)
@@ -124,7 +120,7 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
                   F.countDistinct("_l").alias("_nd")))
     bigrams = (df.select(
         F.col(id_col),
-        F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("_g"))
+        F.explode(token_ngrams_expr(F.col(text_col), 2)).alias("_g"))
         .groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
         .groupBy(id_col).agg(F.max("_c").alias("_top"),
                              F.sum("_c").alias("_tot")))

@@ -26,6 +26,23 @@ N_QUERIES = int(os.environ.get("ANN_QUERIES", "8"))
 N_CENTROIDS = 64
 
 
+def _partition_pruned(df, *cols: str) -> bool:
+    """True iff the executed plan's PartitionFilters carry a VALUE-BEARING
+    IN/INSET predicate on every given partition column.  (Round 4 found
+    the previous substring check on 'PartitionFilters: [' was VACUOUS —
+    the line prints on every partitioned scan, pruned or not, and the
+    broadcast equijoin alone never triggered DPP.  inputFiles() cannot be
+    used either: it lists the relation's files BEFORE pruning.)"""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    if not m:
+        return False
+    pf = m.group(0)
+    return all(re.search(rf"{c}#\d+ IN(SET)? ", pf) for c in cols)
+
+
 def main() -> None:
     import numpy as np
     from pyspark.sql import functions as F
@@ -122,12 +139,11 @@ def main() -> None:
         lb, q, k=K, n_planes=4, dim=DIM, n_tables=4))
     out["lsh4x4_mat_sec"] = round(t, 3)
     out["lsh4x4_mat_recall"] = recall(rows)
-    plan_lsh = similarity.lsh_topk(
-        lb, q, k=K, n_planes=4, dim=DIM,
-        n_tables=4)._jdf.queryExecution().executedPlan().toString()
-    out["lsh_mat_partition_pruned"] = (
-        "dynamicpruning" in plan_lsh.lower()
-        or "PartitionFilters: [" in plan_lsh)
+    # HARD pruning assertion: value-bearing IN predicates on BOTH
+    # partition columns in the executed plan (see _partition_pruned)
+    out["lsh_mat_partition_pruned"] = _partition_pruned(
+        similarity.lsh_topk(lb, q, k=K, n_planes=4, dim=DIM, n_tables=4),
+        "table", "bucket")
 
     # materialized inverted file: cells assigned ONCE at build time, stored
     # partitionBy(cell) — the serving path.  The probe equijoin + partition
@@ -145,12 +161,13 @@ def main() -> None:
             centroids=(C, inv)))
         out[f"ivf{N_CENTROIDS}_mat_probe{probe}_sec"] = round(t, 3)
         out[f"ivf{N_CENTROIDS}_mat_probe{probe}_recall"] = recall(rows)
-    # prove the scan prunes: partition filter visible in the plan
-    plan = similarity.ivf_topk(
-        vb, q, k=K, n_centroids=N_CENTROIDS, n_probe=1, dim=DIM,
-        centroids=(C, inv))._jdf.queryExecution().executedPlan().toString()
-    out["mat_partition_pruned"] = ("dynamicpruning" in plan.lower()
-                                   or "PartitionFilters: [" in plan)
+    # prove the scan prunes: value-bearing IN predicate on the cell
+    # partition column (hard check — the former plan-substring test was
+    # vacuous, see _partition_pruned)
+    out["mat_partition_pruned"] = _partition_pruned(
+        similarity.ivf_topk(vb, q, k=K, n_centroids=N_CENTROIDS,
+                            n_probe=1, dim=DIM, centroids=(C, inv)),
+        "cell")
 
     print(json.dumps(out))
     spark.stop()

@@ -198,6 +198,27 @@ def test_lsh_topk_materialized_index_matches_computed(spark, tmp_path):
     single = similarity.lsh_buckets(vecs, n_planes=4, dim=dim)
     with pytest.raises(ValueError, match="needs a materialized"):
         similarity.lsh_topk(single, q, k=8, n_planes=4, dim=dim, n_tables=3)
+    # param-mismatch guards via stamped metadata (the vec column keeps it
+    # through the hive-partitioned round-trip even though the bucket
+    # partition column loses its field metadata)
+    with pytest.raises(ValueError, match="n_planes=4, queried with"):
+        similarity.lsh_topk(mat, q, k=8, n_planes=8, dim=dim, n_tables=3)
+    with pytest.raises(ValueError, match="n_tables=3, queried with"):
+        similarity.lsh_topk(mat, q, k=8, n_planes=4, dim=dim, n_tables=2)
+    # true partition pruning: the scan's PartitionFilters must carry
+    # VALUE-BEARING IN predicates on the partition columns (an unpruned
+    # scan prints only isnotnull guards; inputFiles() cannot be used — it
+    # lists the relation's files BEFORE pruning).  Static probe-derived
+    # filters are required because the broadcast equijoin alone never
+    # triggers dynamic partition pruning.
+    import re
+
+    plan = similarity.lsh_topk(
+        mat, q, k=8, n_planes=4, dim=dim,
+        n_tables=3)._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan).group(0)
+    assert re.search(r"bucket#\d+ IN(SET)? ", pf), pf
+    assert re.search(r"table#\d+ IN(SET)? ", pf), pf
 
 
 def test_repetition_metrics_property_fuzz(spark):
@@ -225,10 +246,15 @@ def test_repetition_metrics_property_fuzz(spark):
                                                   k=rng.randint(0, 5))))
         if rng.random() < 0.2:
             lines.append("   ")                          # blank-ish line
+        if rng.random() < 0.2:
+            lines.append("\t")   # tab-only: NON-blank under space-only trim
         docs.append((i, "\n".join(lines)))
 
     def ref(text):
-        lines = [ln for ln in text.split("\n") if ln.strip()]
+        # Spark F.trim and DuckDB trim strip SPACES only — a tab-only line
+        # counts as non-blank in both engines, so the reference must use
+        # strip(' '), not the all-whitespace str.strip()
+        lines = [ln for ln in text.split("\n") if ln.strip(" ")]
         n = len(lines)
         dup = round((n - len(set(lines))) / n, 6) if n else 0.0
         # simple_tokens_expr drops tokens shorter than 2 chars
