@@ -276,8 +276,15 @@ def lsh_buckets(vectors: DataFrame, n_planes: int = 4, dim: int = 64,
             b += np.where(D[:, p] > 0, w, 0)
         return pd.Series(b)
 
-    return vectors.select(F.col(id_col), F.col(vec_col),
-                          _bucket(F.col(vec_col)).alias("bucket"))
+    # same build-param stamp as lsh_buckets_multi (n_tables=1): a stored
+    # SINGLE-table index queried with a different n_planes would otherwise
+    # silently join mismatched bucket spaces — the exact failure the
+    # lsh_topk guard exists for (ADVICE r4)
+    md = {"n_planes": n_planes, "n_tables": 1}
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col).alias(vec_col, metadata=md),
+        _bucket(F.col(vec_col)).alias("bucket", metadata=md))
 
 
 def lsh_buckets_multi(vectors: DataFrame, n_planes: int = 4,

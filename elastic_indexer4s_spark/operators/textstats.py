@@ -78,7 +78,17 @@ def quality_metrics(df: DataFrame, id_col: str = "doc_id",
     stripped = F.regexp_replace(text, "[A-Za-z0-9\\s]", "")
     punct_ratio = F.round(F.length(stripped).cast("double")
                           / F.nullif(n_chars, F.lit(0)).cast("double"), 6)
-    stop_pat = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+    # re.escape per word + the charset assert make the alternation provably
+    # equal to the isin() list filter it replaced: a future stopword with a
+    # regex metacharacter (dotted/hyphenated form) would otherwise silently
+    # change matching semantics (ADVICE r4) — and anything outside [a-z0-9]
+    # can never equal a token of simple_tokens_expr anyway, so it is a
+    # config error worth failing loudly on.
+    import re as _re
+
+    bad = [w for w in EN_STOPWORDS if not _re.fullmatch(r"[a-z0-9]+", w)]
+    assert not bad, f"stopwords must match [a-z0-9]+ (tokenizer charset): {bad}"
+    stop_pat = r"\b(" + "|".join(_re.escape(w) for w in EN_STOPWORDS) + r")\b"
     n_stops = F.regexp_count(F.array_join(toks, " "), F.lit(stop_pat))
     stop_ratio = F.round(n_stops.cast("double")
                          / F.nullif(n_tokens, F.lit(0)).cast("double"), 6)
