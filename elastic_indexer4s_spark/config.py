@@ -73,6 +73,13 @@ class IndexConfig:
     on_error: str = "fail"  # or "skip" — reference's Decider (ElasticIndexer4s.scala:45-48)
     doc_key: tuple[str, ...] = ("repo", "path", "commit")
     log_every: float = 60.0
+    #: store token positions in the postings (delta+varint ``pos_blob``):
+    #: makes phrase queries index-native (ES analyzed `text` fields keep
+    #: Lucene positions for exactly this, MappingSetting.scala:13) at
+    #: roughly dl/distinct-terms extra varints per document.  Default off —
+    #: bag-of-words BM25 search needs none of it; flip on when the workload
+    #: includes match_phrase.  Requires the default single-pass build path.
+    store_positions: bool = False
 
     def generation_name(self, run_ts: str | None = None) -> str:
         ts = run_ts or datetime.now(timezone.utc).strftime("%Y-%m-%d't'%H.%M.%S")

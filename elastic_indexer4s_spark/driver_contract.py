@@ -45,12 +45,13 @@ TOK = simple_tokens_sql("text")
 # RE2 has no lookarounds, so camel boundaries use capture-group replacement —
 # equivalent here because consecutive boundaries can never share characters
 # (the char classes on each side of a boundary are disjoint).
-CODE_TOK = r"""
+def _code_tok_sql(col: str) -> str:
+    return rf"""
 list_transform(
   list_filter(
     regexp_split_to_array(
       trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        text, '[^A-Za-z0-9_]+', ' ', 'g'),
+        {col}, '[^A-Za-z0-9_]+', ' ', 'g'),
         '_', ' ', 'g'),
         '([a-z0-9])([A-Z])', '\1 \2', 'g'),
         '([A-Z])([A-Z][a-z])', '\1 \2', 'g')),
@@ -58,6 +59,9 @@ list_transform(
     t -> length(t) >= 2 AND length(t) <= 64),
   t -> lower(t))
 """.strip()
+
+
+CODE_TOK = _code_tok_sql("text")
 
 TF_CTE = f"""
 toks AS (SELECT doc_id, {TOK} AS toks FROM documents),
@@ -154,7 +158,10 @@ def _queryset_values() -> str:
 # ---------------------------------------------------------------------------
 
 _GEN_CACHE: dict[str, str] = {}
-_ENGINE_CFG = IndexConfig(num_shards=8, block_size=64)
+# store_positions: the contract generation carries the positional index so
+# engine_phrase runs the index-native path (round 5) — every other engine
+# row is positions-agnostic (pinned by test_positions.py BM25 parity)
+_ENGINE_CFG = IndexConfig(num_shards=8, block_size=64, store_positions=True)
 
 
 def corpus_shaped(docs: DataFrame) -> DataFrame:
@@ -173,7 +180,11 @@ def _generation_for(spark: SparkSession, sf_dir: str) -> str:
     gen = _GEN_CACHE.get(sf_dir)
     if gen and os.path.exists(os.path.join(gen, "stats.json")):
         return gen
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # the tag hashes the build config too: a config change (e.g. the
+    # round-5 store_positions flip) must invalidate generations cached in
+    # tempdir by earlier processes, not silently reuse them
+    tag = hashlib.md5(
+        f"{sf_dir}|{_ENGINE_CFG.to_json()}".encode()).hexdigest()[:8]
     gen = os.path.join(tempfile.gettempdir(), f"ei4s_gen_{tag}")
     if not os.path.exists(os.path.join(gen, "stats.json")):
         res = build_index(spark, corpus_shaped(_docs(spark, sf_dir)),
@@ -185,6 +196,40 @@ def _generation_for(spark: SparkSession, sf_dir: str) -> str:
 
 def _orig_id_from_path() -> F.Column:
     return F.regexp_extract("path", r"doc/(\d+)\.txt", 1).cast("long")
+
+
+# --- multi-field generation (content + repo fields, SURVEY §2 ext) ---------
+
+_MF_CACHE: dict[str, str] = {}
+_MF_CFG = IndexConfig(num_shards=8, block_size=64)
+#: boosted multi_match fixture: the full-text field plus the repo name as
+#: an independently-analyzed field (reference TestObjects.scala:36-43 maps
+#: `name` as text+keyword); "src13" only ever matches the repo field
+MULTI_BOOSTS = {"content": 1.0, "repo": 2.5}
+MULTI_TERMS = ["spark", "join", "src13"]
+
+
+def _mf_generation_for(spark: SparkSession, sf_dir: str) -> str:
+    from .operators.multifield import (FieldSpec, build_multifield_index,
+                                       field_dir)
+
+    base = _MF_CACHE.get(sf_dir)
+    if base and os.path.exists(os.path.join(base, "fields.json")):
+        return base
+    tag = hashlib.md5(
+        f"{sf_dir}|{_MF_CFG.to_json()}|mf".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"ei4s_mf_{tag}")
+    done = all(os.path.exists(os.path.join(field_dir(base, f), "stats.json"))
+               for f in MULTI_BOOSTS) and \
+        os.path.exists(os.path.join(base, "fields.json"))
+    if not done:
+        res = build_multifield_index(
+            spark, corpus_shaped(_docs(spark, sf_dir)), _MF_CFG, base,
+            {"content": FieldSpec("content"), "repo": FieldSpec("repo")})
+        for name, r in res.items():
+            assert isinstance(r, RunResult), f"{name}: {r}"
+    _MF_CACHE[sf_dir] = base
+    return base
 
 
 # ---------------------------------------------------------------------------
@@ -435,20 +480,58 @@ PHRASE = ["customer", "join"]
 
 
 def q_engine_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES match_phrase analog (operators.query.phrase_topk): postings
-    AND-intersection prune via the real index, then one codegen instr()
-    adjacency verify on candidates' content.  Deep margin + re-selection
-    on the oracle key, like the other engine rows."""
+    """ES match_phrase analog (operators.query.phrase_topk), INDEX-NATIVE
+    since round 5: the generation stores positional postings, so adjacency
+    verifies from decoded ``pos_blob`` streams and the source table is
+    never touched (source=None — the plan is postings-scan-only).  Deep
+    margin + re-selection on the oracle key, like the other engine rows."""
     from .operators.query import phrase_topk
 
     gen = _generation_for(spark, sf_dir)
-    src = corpus_shaped(_docs(spark, sf_dir))
-    res = phrase_topk(spark, gen, src, PHRASE, k=100)
+    res = phrase_topk(spark, gen, None, PHRASE, k=100)
     doclen = spark.read.parquet(os.path.join(gen, "doclen"))
     ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
     return (res.join(ids, "doc_id")
             .select(F.col("orig_id").alias("doc_id"),
                     F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(10))
+
+
+def q_engine_phrase_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier phrase (LocalSearcher.search_phrase): pyarrow artifact
+    read + the same positional ``_shard_phrase`` kernel as the Spark path,
+    no Spark job — hash-verified against the identical DuckDB oracle."""
+    from .serving import LocalSearcher
+
+    gen = _generation_for(spark, sf_dir)
+    hits = LocalSearcher(gen).search_phrase(PHRASE, k=100)
+    res = spark.createDataFrame(hits, "doc_id long, score double")
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
+    return (res.join(ids, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(10))
+
+
+def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosted multi-field search (ES multi_match most_fields): two real
+    per-field index generations (content + repo, each its own postings/
+    dictionary/doclen), per-field BM25 with the field's analyzer, combined
+    as sum(boost_f * score_f) in exact DECIMAL arithmetic.  Deep margin +
+    re-selection on (score desc, ORIGINAL doc_id asc), like the other
+    engine rows — the combined score itself is cross-engine exact."""
+    from .operators.multifield import field_dir, multi_match_topk
+
+    base = _mf_generation_for(spark, sf_dir)
+    res = multi_match_topk(spark, base, MULTI_TERMS, MULTI_BOOSTS, k=100)
+    doclen = spark.read.parquet(
+        os.path.join(field_dir(base, "content"), "doclen"))
+    ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
+    return (res.join(ids, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"), "score")
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(10))
 
@@ -819,6 +902,35 @@ agg AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
         FROM scored GROUP BY query_id, doc_id)"""
 
 
+def _bm25_field_sql(p: str, tok: str, queryset_values: str) -> str:
+    """Prefixed BM25 CTE chain (→ relation ``{p}agg(doc_id, score)``) so
+    several fields' chains can coexist in one WITH clause — same exact
+    left-assoc arithmetic shape as :func:`_bm25_sql`."""
+    return f"""
+{p}toks AS (SELECT doc_id, {tok} AS toks FROM documents),
+{p}tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM {p}toks)
+  GROUP BY doc_id, tok
+),
+{p}dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM {p}toks),
+{p}stats AS (SELECT count(*)::BIGINT AS n, avg(len(toks)) AS avg_dl
+             FROM {p}toks),
+{p}dft AS (SELECT term, count(*) AS df FROM {p}tf GROUP BY term),
+{p}qs AS (SELECT * FROM {queryset_values}),
+{p}scored AS (
+  SELECT {p}qs.query_id, {p}tf.doc_id,
+         ln(1.0 + ({p}stats.n - {p}dft.df + 0.5) / ({p}dft.df + 0.5))
+           * {p}tf.tf * (1.2 + 1.0)
+           / ({p}tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * {p}dl.dl
+              / {p}stats.avg_dl)) AS c
+  FROM {p}tf JOIN {p}qs USING (term) JOIN {p}dft USING (term)
+       JOIN {p}dl ON {p}tf.doc_id = {p}dl.doc_id, {p}stats
+),
+{p}agg AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+           FROM {p}scored GROUP BY query_id, doc_id)"""
+
+
 def _ivf_sql_parts(n_centroids: int = 8, dim: int = 64,
                    vec: str = "v") -> tuple[str, str, str]:
     """(score defs, argmax expr, per-cell score CASE) — DuckDB twins of
@@ -1028,6 +1140,32 @@ ph AS (SELECT doc_id FROM documents
                     '{needle}') > 0)
 SELECT a.doc_id, a.score FROM anddocs a JOIN ph USING (doc_id)
 ORDER BY a.score DESC, a.doc_id LIMIT 10"""
+
+    # the serving tier verifies adjacency from the same positional
+    # artifact, so the identical oracle applies
+    oracles["engine_phrase_local"] = oracles["engine_phrase"]
+
+    # boosted multi_match: independent BM25 chains per field (content =
+    # text, repo = the source column — both under the code analyzer, each
+    # with its OWN corpus stats), per-field 6-dp round, then the exact
+    # INTEGER-unit combine: units = score·10^6 via a decimal hop, boost
+    # quantized ·10^3 → sum of bigints is order-independent on any engine;
+    # display score = sum / 10^9 in float64 (multifield.multi_match_topk)
+    mm_values = ("(VALUES " + ", ".join(f"(0, '{t}')" for t in MULTI_TERMS)
+                 + ") AS qs(query_id, term)")
+    bu_c = int(round(MULTI_BOOSTS["content"] * 1000))
+    bu_r = int(round(MULTI_BOOSTS["repo"] * 1000))
+    oracles["multi_match"] = f"""
+WITH {_bm25_field_sql('c', CODE_TOK, mm_values)},
+{_bm25_field_sql('r', _code_tok_sql('source'), mm_values)},
+u AS (
+  SELECT doc_id, CAST(CAST(score AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+         * {bu_c} AS contrib FROM cagg
+  UNION ALL
+  SELECT doc_id, CAST(CAST(score AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+         * {bu_r} AS contrib FROM ragg)
+SELECT doc_id, CAST(sum(contrib) AS DOUBLE) / 1000000000.0 AS score
+FROM u GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
 
     # hydration: BM25 top-10 joined back to the source documents — repo is
     # the driver table's `source`, path is the corpus_shaped encoding of
@@ -1497,6 +1635,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_bm25_local": q_engine_bm25_local,
     "engine_topk_hydrated": q_engine_topk_hydrated,
     "engine_phrase": q_engine_phrase,
+    "engine_phrase_local": q_engine_phrase_local,
+    "multi_match": q_multi_match,
     "lifecycle_retention": q_lifecycle_retention,
     "lifecycle_alias_gate": q_lifecycle_alias_gate,
     "catalog_indices_by_age": q_catalog_indices_by_age,

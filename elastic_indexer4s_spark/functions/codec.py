@@ -121,6 +121,14 @@ class EncodedPostings:
     block_doc_off: np.ndarray  # int64 byte offsets into doc_blob
     block_tf_off: np.ndarray   # int64 byte offsets into tf_blob
     block_dl_off: np.ndarray   # int64 byte offsets into dl_blob
+    #: OPTIONAL positional index (None on position-less generations): one
+    #: varint stream of token positions for every posting, doc-major; the
+    #: posting's FIRST position is absolute, the rest are gaps, and the
+    #: per-posting span is derived from tf (position count == tf), so no
+    #: extra offset sidecar is needed.  This is the Lucene-proximity-data
+    #: analog that makes phrase queries index-native (SURVEY §2 B7 ext;
+    #: reference ES analyzed `text` mapping, MappingSetting.scala:13).
+    pos_blob: bytes | None = None
 
 
 def _empty() -> EncodedPostings:
@@ -128,9 +136,23 @@ def _empty() -> EncodedPostings:
     return EncodedPostings(0, b"", b"", b"", z, z, z, z.astype(np.int32), z, z, z)
 
 
+def _pos_deltas(pos: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Per-posting delta encoding of a doc-major flat position stream:
+    leading position absolute, rest gaps (positions ascend within a doc)."""
+    starts = np.cumsum(np.concatenate(([0], tfs[:-1])))
+    deltas = np.empty(pos.size, dtype=np.int64)
+    deltas[0] = pos[0]
+    np.subtract(pos[1:], pos[:-1], out=deltas[1:])
+    deltas[starts] = pos[starts]
+    return deltas
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                    block_size: int = 128) -> EncodedPostings:
-    """Encode one posting list. ``doc_ids`` must be strictly ascending."""
+                    block_size: int = 128,
+                    positions: np.ndarray | None = None) -> EncodedPostings:
+    """Encode one posting list. ``doc_ids`` must be strictly ascending.
+    ``positions``: optional flat int array of token positions, doc-major
+    (``positions.size == tfs.sum()``, ascending within each doc)."""
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     dls = np.ascontiguousarray(dls, dtype=np.int64)
@@ -149,6 +171,12 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     doc_blob, doc_off = _blocked_varint(deltas, block_starts, block_ends)
     tf_blob, tf_off = _blocked_varint(tfs, block_starts, block_ends)
     dl_blob, dl_off = _blocked_varint(dls, block_starts, block_ends)
+    pos_blob = None
+    if positions is not None:
+        positions = np.ascontiguousarray(positions, dtype=np.int64)
+        assert positions.size == int(tfs.sum()), \
+            "positions must carry exactly tf values per posting"
+        pos_blob = varint_encode(_pos_deltas(positions, tfs))
     return EncodedPostings(
         df=int(n),
         doc_blob=doc_blob,
@@ -161,7 +189,27 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         block_doc_off=doc_off,
         block_tf_off=tf_off,
         block_dl_off=dl_off,
+        pos_blob=pos_blob,
     )
+
+
+def decode_positions(enc: EncodedPostings,
+                     tfs: np.ndarray | None = None) -> np.ndarray:
+    """Decode the positional stream → flat int64 positions, doc-major
+    (posting i owns the next ``tfs[i]`` values, ascending).  ``tfs`` may be
+    passed when the caller already decoded the tf stream."""
+    if enc.pos_blob is None:
+        raise ValueError("posting list carries no positions "
+                         "(generation built without store_positions)")
+    if enc.df == 0:
+        return np.empty(0, dtype=np.int64)
+    if tfs is None:
+        tfs = varint_decode(enc.tf_blob).astype(np.int64)
+    deltas = varint_decode(enc.pos_blob).astype(np.int64)
+    starts = np.cumsum(np.concatenate(([0], tfs[:-1])))
+    csum = np.cumsum(deltas)
+    carry = csum[starts] - deltas[starts]
+    return csum - np.repeat(carry, tfs)
 
 
 def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -216,6 +264,10 @@ def concat_postings(parts: list[EncodedPostings]) -> EncodedPostings:
         doc_blob=b"".join(p.doc_blob for p in parts),
         tf_blob=b"".join(p.tf_blob for p in parts),
         dl_blob=b"".join(p.dl_blob for p in parts),
+        # positions stay concatenation-mergeable because every posting's
+        # first position is absolute (delta scope = one posting)
+        pos_blob=(b"".join(p.pos_blob for p in parts)
+                  if all(p.pos_blob is not None for p in parts) else None),
         block_last=np.concatenate([p.block_last for p in parts]),
         block_maxtf=np.concatenate([p.block_maxtf for p in parts]),
         block_min_dl=np.concatenate([p.block_min_dl for p in parts]),
@@ -231,7 +283,8 @@ def concat_postings(parts: list[EncodedPostings]) -> EncodedPostings:
 def encode_partition_postings(shard: np.ndarray, term_code: np.ndarray,
                               doc_id: np.ndarray, tf: np.ndarray,
                               dl: np.ndarray, term_values,
-                              block_size: int = 128):
+                              block_size: int = 128,
+                              pos: np.ndarray | None = None):
     """Encode EVERY posting list of a partition in one vectorized pass.
 
     Inputs are per-POSTING arrays sorted by ``(shard, term_code, doc_id)``
@@ -310,6 +363,26 @@ def encode_partition_postings(shard: np.ndarray, term_code: np.ndarray,
     def list_array(vals: np.ndarray, typ) -> pa.Array:
         return pa.ListArray.from_arrays(list_offs, pa.array(vals, type=typ))
 
+    # optional positional stream: same three-whole-array-pass discipline —
+    # one delta pass over the flat doc-major positions (posting-leading
+    # values absolute), one varint pass, then per-term slices through the
+    # posting→position boundary map (position count per posting == tf)
+    if pos is not None:
+        ppb = np.concatenate(([0], np.cumsum(tf)))      # posting → pos idx
+        pos_blob, pos_starts = varint_encode_offsets(_pos_deltas(pos, tf))
+        offs = pos_starts[ppb[t_bound]]
+        if offs[-1] <= np.iinfo(np.int32).max:
+            pos_arr = pa.BinaryArray.from_buffers(
+                pa.binary(), n_terms,
+                [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+                 pa.py_buffer(pos_blob)])
+        else:
+            pos_arr = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(), n_terms,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(pos_blob)])
+    else:
+        pos_arr = pa.nulls(n_terms, type=pa.binary())
+
     terms = pa.compute.take(term_values, pa.array(term_code[t_start]))
     if pa.types.is_large_string(terms.type):
         terms = terms.cast(pa.string())
@@ -326,7 +399,8 @@ def encode_partition_postings(shard: np.ndarray, term_code: np.ndarray,
          list_array(blk_count, pa.int32()),
          list_array(blk_doc_off, pa.int64()),
          list_array(blk_tf_off, pa.int64()),
-         list_array(blk_dl_off, pa.int64())],
+         list_array(blk_dl_off, pa.int64()),
+         pos_arr],
         schema=postings_arrow_schema())
 
 
@@ -343,6 +417,7 @@ def postings_arrow_schema():
         ("block_doc_off", pa.list_(pa.int64())),
         ("block_tf_off", pa.list_(pa.int64())),
         ("block_dl_off", pa.list_(pa.int64())),
+        ("pos_blob", pa.binary()),
     ])
 
 
@@ -351,15 +426,17 @@ def postings_arrow_schema():
 POSTINGS_FIELDS = (
     "term", "df", "doc_blob", "tf_blob", "dl_blob", "block_last",
     "block_maxtf", "block_min_dl", "block_count", "block_doc_off",
-    "block_tf_off", "block_dl_off",
+    "block_tf_off", "block_dl_off", "pos_blob",
 )
 
+# pos_blob is nullable: position-less generations (and pre-round-5 parquet,
+# where the column is simply absent and reads back NULL) stay readable
 POSTINGS_DDL = (
     "shard int, term string, df bigint, doc_blob binary, tf_blob binary, "
     "dl_blob binary, block_last array<bigint>, block_maxtf array<bigint>, "
     "block_min_dl array<bigint>, block_count array<int>, "
     "block_doc_off array<bigint>, block_tf_off array<bigint>, "
-    "block_dl_off array<bigint>"
+    "block_dl_off array<bigint>, pos_blob binary"
 )
 
 
@@ -377,6 +454,7 @@ def enc_to_row(term: str, enc: EncodedPostings, shard: int | None = None) -> dic
         "block_doc_off": enc.block_doc_off.tolist(),
         "block_tf_off": enc.block_tf_off.tolist(),
         "block_dl_off": enc.block_dl_off.tolist(),
+        "pos_blob": enc.pos_blob,
     }
     if shard is not None:
         d["shard"] = shard
@@ -386,7 +464,12 @@ def enc_to_row(term: str, enc: EncodedPostings, shard: int | None = None) -> dic
 def row_to_enc(row) -> EncodedPostings:
     """Accepts a pandas Series / dict / pyspark Row with POSTINGS_FIELDS."""
     g = row.__getitem__
+    try:  # absent on pre-round-5 rows; NULL on position-less generations
+        pos = g("pos_blob")
+    except (KeyError, IndexError, ValueError):
+        pos = None
     return EncodedPostings(
+        pos_blob=bytes(pos) if pos is not None else None,
         df=int(g("df")),
         doc_blob=bytes(g("doc_blob")),
         tf_blob=bytes(g("tf_blob")),

@@ -196,26 +196,38 @@ TF_DDL = ("repo string, path string, commit string, lang string, "
           "terms array<string>, tfs array<int>")
 
 #: columns the TF combine computes (never passed through from the source)
-_TF_COMPUTED = ("content", "sha256", "dl", "terms", "tfs")
+_TF_COMPUTED = ("content", "sha256", "dl", "terms", "tfs", "poss")
 
 
-def _tf_schema(df: DataFrame):
+def _tf_schema(df: DataFrame, positions: bool = False):
     """Combine output schema: source columns minus content, plus computed."""
     from pyspark.sql import types as T
 
     fields = [f for f in df.schema.fields if f.name not in _TF_COMPUTED]
-    return T.StructType(fields + [
+    out = fields + [
         T.StructField("sha256", T.StringType()),
         T.StructField("dl", T.LongType()),
         T.StructField("terms", T.ArrayType(T.StringType())),
-        T.StructField("tfs", T.ArrayType(T.IntegerType()))])
+        T.StructField("tfs", T.ArrayType(T.IntegerType()))]
+    if positions:
+        # flat per-doc position stream, term-major in `terms` order:
+        # the first tfs[0] values are positions of terms[0], and so on —
+        # ascending within each term, len == dl
+        out.append(T.StructField("poss", T.ArrayType(T.IntegerType())))
+    return T.StructType(out)
 
 
-def _tf_reduce_core(n: int, toks):
+def _tf_reduce_core(n: int, toks, want_positions: bool = False):
     """token ListArray (n rows) → (dl np.int64[n], terms ListArray,
-    tfs ListArray): dictionary-encode + one lexsort + run-length reduce —
-    zero per-row Python.  Shared by the per-doc and distinct-content
-    reduction paths."""
+    tfs ListArray[, poss ListArray]): dictionary-encode + one lexsort +
+    run-length reduce — zero per-row Python.  Shared by the per-doc and
+    distinct-content reduction paths.
+
+    ``want_positions``: additionally emit each doc's token positions
+    grouped by term (term-major, ascending within term — the lexsort is
+    stable, so original token order survives within each (doc, term)
+    group), one flat int32 list per doc with len == dl.
+    """
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -246,10 +258,23 @@ def _tf_reduce_core(n: int, toks):
         values = pa.array([], type=pa.string())
     offsets = pa.array(
         np.concatenate(([0], np.cumsum(per_row))), type=pa.int32())
-    return (lens,
-            pa.ListArray.from_arrays(offsets, values),
-            pa.ListArray.from_arrays(offsets,
-                                     pa.array(tf, type=pa.int32())))
+    out = (lens,
+           pa.ListArray.from_arrays(offsets, values),
+           pa.ListArray.from_arrays(offsets,
+                                    pa.array(tf, type=pa.int32())))
+    if not want_positions:
+        return out
+    if m:
+        row_starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+        pos_within = np.arange(m, dtype=np.int64) - np.repeat(row_starts, lens)
+        pos_sorted = pos_within[order].astype(np.int32)
+    else:
+        pos_sorted = np.empty(0, dtype=np.int32)
+    pos_offsets = pa.array(
+        np.concatenate(([0], np.cumsum(lens))), type=pa.int32())
+    return out + (pa.ListArray.from_arrays(pos_offsets,
+                                           pa.array(pos_sorted,
+                                                    type=pa.int32())),)
 
 
 def tokenized_docs_tf(df: DataFrame, cfg: IndexConfig,
@@ -292,7 +317,8 @@ def tokenized_docs_tf(df: DataFrame, cfg: IndexConfig,
     if cfg.on_error == "skip":
         df = df.filter(F.col("content").isNotNull())
     passthrough = [c for c in df.columns if c not in _TF_COMPUTED]
-    out_schema = _tf_schema(df)
+    positions = cfg.store_positions
+    out_schema = _tf_schema(df, positions)
     out_names = [f.name for f in out_schema.fields]
     on_error = cfg.on_error
     tok_cfg = cfg.tokenizer
@@ -319,24 +345,29 @@ def tokenized_docs_tf(df: DataFrame, cfg: IndexConfig,
                     .select("sha256", tok.alias("tokens")))
 
         from pyspark.sql import types as T
-        dschema = T.StructType([
+        dfields = [
             T.StructField("sha256", T.StringType()),
             T.StructField("dl", T.LongType()),
             T.StructField("terms", T.ArrayType(T.StringType())),
-            T.StructField("tfs", T.ArrayType(T.IntegerType()))])
+            T.StructField("tfs", T.ArrayType(T.IntegerType()))]
+        if positions:
+            dfields.append(
+                T.StructField("poss", T.ArrayType(T.IntegerType())))
+        dschema = T.StructType(dfields)
+        dnames = [f.name for f in dfields]
 
         def dcombine(batches):
             for rb in batches:
                 if rb.num_rows == 0:
                     continue
-                lens, terms, tfs = _tf_reduce_core(
-                    rb.num_rows, rb.column("tokens"))
+                parts = _tf_reduce_core(
+                    rb.num_rows, rb.column("tokens"), positions)
                 if meter_acc is not None:
                     meter_acc.add(rb.num_rows)
                 yield pa.RecordBatch.from_arrays(
-                    [rb.column("sha256"), pa.array(lens, type=pa.int64()),
-                     terms, tfs],
-                    names=["sha256", "dl", "terms", "tfs"])
+                    [rb.column("sha256"),
+                     pa.array(parts[0], type=pa.int64()), *parts[1:]],
+                    names=["sha256", *dnames[1:]])
 
         dtok = distinct.mapInArrow(dcombine, schema=dschema)
         # null-safe (<=>) equi-join: sha2(NULL) is NULL on BOTH sides, and a
@@ -356,12 +387,13 @@ def tokenized_docs_tf(df: DataFrame, cfg: IndexConfig,
         with_tokens = df.select(*base_cols, F.col("content"))
 
     def _reduce(rb: pa.RecordBatch, toks) -> pa.RecordBatch:
-        """Vectorized per-doc token→(term, tf) reduction over one batch."""
-        lens, terms, tfs = _tf_reduce_core(rb.num_rows, toks)
+        """Vectorized per-doc token→(term, tf[, positions]) reduction over
+        one batch."""
+        parts = _tf_reduce_core(rb.num_rows, toks, positions)
         return pa.RecordBatch.from_arrays(
             [rb.column(c) for c in passthrough]
             + [rb.column("sha256"),
-               pa.array(lens, type=pa.int64()), terms, tfs],
+               pa.array(parts[0], type=pa.int64()), *parts[1:]],
             names=out_names)
 
     def _tokens_custom(rb: pa.RecordBatch) -> tuple[pa.RecordBatch, "pa.Array"]:
@@ -507,8 +539,11 @@ def _merge_segments_encode(segs: list, block: int):
     """Unify per-batch posting-run segments (dictionary-encoded terms),
     one global (shard, term, doc) sort over POSTING rows (≈2-3x fewer than
     tokens, and no strings — the dictionary indirection keeps this
-    pure-int), then whole-partition encode."""
+    pure-int), then whole-partition encode.  An optional per-posting ``pos``
+    list column (token positions) is gathered through the same sort and
+    flattened into the positional stream."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ..functions.codec import encode_partition_postings
 
@@ -522,19 +557,29 @@ def _merge_segments_encode(segs: list, block: int):
     dl = np.asarray(tbl.column("dl").chunk(0), dtype=np.int64)
     shard = np.asarray(tbl.column("shard").chunk(0), dtype=np.int64)
     order = np.lexsort((doc, codes, shard))
+    pos_flat = None
+    if "pos" in tbl.column_names:
+        taken = pc.take(tbl.column("pos").chunk(0), pa.array(order))
+        pos_flat = np.asarray(taken.flatten(), dtype=np.int64)
     yield encode_partition_postings(
         shard[order], codes[order], doc[order], tf[order], dl[order],
-        term_col.dictionary, block)
+        term_col.dictionary, block, pos=pos_flat)
 
 
 def build_postings_arrow_tf(docs_tf: DataFrame, cfg: IndexConfig) -> DataFrame:
-    """(shard, doc_id, dl, terms, tfs) → encoded postings; the reduce side
-    of the map-side-combined path (:func:`tokenized_docs_tf`).  Identical
-    output to :func:`build_postings_arrow` (tested byte-for-byte); the tf
-    run-length counting is gone because tfs arrive pre-counted per doc."""
+    """(shard, doc_id, dl, terms, tfs[, poss]) → encoded postings; the
+    reduce side of the map-side-combined path (:func:`tokenized_docs_tf`).
+    Identical output to :func:`build_postings_arrow` (tested byte-for-byte);
+    the tf run-length counting is gone because tfs arrive pre-counted per
+    doc.  When the combine carried positions (``cfg.store_positions``) the
+    per-doc flat position stream is resliced per posting (the posting's
+    span is its tf) and threads through the global sort into ``pos_blob``.
+    """
     import pyarrow as pa
 
-    cols = docs_tf.select("shard", "doc_id", "dl", "terms", "tfs")
+    positions = cfg.store_positions and "poss" in docs_tf.columns
+    pos_cols = ["poss"] if positions else []
+    cols = docs_tf.select("shard", "doc_id", "dl", "terms", "tfs", *pos_cols)
     block = cfg.block_size
 
     def encode(batches):
@@ -562,16 +607,28 @@ def build_postings_arrow_tf(docs_tf: DataFrame, cfg: IndexConfig) -> DataFrame:
                 np.asarray(rb.column("shard"), dtype=np.int64), lens)
             if codes.size == 0:
                 continue
+            names = ["term", "doc_id", "tf", "dl", "shard"]
+            arrays = [
+                pa.DictionaryArray.from_arrays(
+                    pa.array(codes, type=pa.int32()), denc.dictionary),
+                pa.array(docrep, type=pa.int64()),
+                pa.array(tfflat, type=pa.int64()),
+                pa.array(dlrep, type=pa.int64()),
+                pa.array(shardrep, type=pa.int64())]
+            if positions:
+                # per-doc flat positions (term-major, = terms/tfs order) →
+                # one list per POSTING: offsets are the running tf sum
+                posflat = pa.array(
+                    np.asarray(rb.column("poss").flatten(),
+                               dtype=np.int32), type=pa.int32())
+                poff = pa.array(np.concatenate(
+                    ([0], np.cumsum(tfflat))).astype(np.int64),
+                    type=pa.int64())
+                arrays.append(pa.LargeListArray.from_arrays(poff, posflat))
+                names.append("pos")
             # no per-batch sort: rows are already one posting per (doc,
             # term) and _merge_segments_encode sorts globally anyway.
-            segs.append(pa.RecordBatch.from_arrays(
-                [pa.DictionaryArray.from_arrays(
-                    pa.array(codes, type=pa.int32()), denc.dictionary),
-                 pa.array(docrep, type=pa.int64()),
-                 pa.array(tfflat, type=pa.int64()),
-                 pa.array(dlrep, type=pa.int64()),
-                 pa.array(shardrep, type=pa.int64())],
-                names=["term", "doc_id", "tf", "dl", "shard"]))
+            segs.append(pa.RecordBatch.from_arrays(arrays, names=names))
         yield from _merge_segments_encode(segs, block)
 
     return cols.mapInArrow(encode, schema=POSTINGS_DDL)
@@ -768,6 +825,11 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
     if analyzer is not None and not single_pass:
         raise ValueError("custom analyzer requires the single-pass build "
                          "(mapside_tf=True, not salted)")
+    if cfg.store_positions and (salted or not mapside_tf):
+        raise ValueError("store_positions requires the map-side-combined "
+                         "build path (mapside_tf=True, not salted) — the "
+                         "salted/raw-token paths emit position-less "
+                         "postings")
     if single_pass:
         docs_tok = tokenized_docs_tf(source_df, cfg, use_pandas_udf,
                                      analyzer=analyzer, meter_acc=meter.acc,
@@ -892,7 +954,7 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
             futures["postings"] = pool.submit(_write_postings)
         # doclen schema follows the source: shard/doc_id + every passthrough
         # column (incl. caller doc_key cols) + dl + sha256
-        skip = {"_route", "tokens", "terms", "tfs"}
+        skip = {"_route", "tokens", "terms", "tfs", "poss"}
         doclen_cols = [c for c in docs_tok_build.columns if c not in skip]
         write_partitioned(docs_tok_build.select(*doclen_cols), "doclen")
         return StageSucceeded("Wrote doclen table")

@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 
 from .. import fs as FS
 from ..config import IndexConfig, TokenizerConfig
-from ..functions.codec import EncodedPostings, decode_block, decode_postings, row_to_enc
+from ..functions.codec import (EncodedPostings, decode_block,
+                               decode_positions, decode_postings, row_to_enc)
 from ..functions.tokenizer import tokenize_py
 
 
@@ -439,48 +440,148 @@ def topk_batch(spark: SparkSession, generation_dir: str,
                     "doc_id", "score"))
 
 
-def phrase_topk(spark: SparkSession, generation_dir: str, source: DataFrame,
-                phrase_terms: list[str], k: int = 10, *,
+def analyze_phrase(phrase_terms: list[str], cfg: TokenizerConfig) -> list[str]:
+    """ORDER- and MULTIPLICITY-preserving analysis: the phrase is a token
+    SEQUENCE (analyze_query dedupes + sorts, which is right for bag-of-
+    terms scoring but would corrupt the needle — "join customer" is not
+    "customer join", and "beta beta" requires an actual repetition)."""
+    seq: list[str] = []
+    for t in phrase_terms:
+        seq.extend(tokenize_py(t, cfg))
+    return seq
+
+
+def _isin_sorted(vals: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership mask of ``vals`` in an ASCENDING ``sorted_arr`` via one
+    searchsorted — no hashing, no set build."""
+    idx = np.searchsorted(sorted_arr, vals)
+    ok = idx < sorted_arr.size
+    ok[ok] = sorted_arr[idx[ok]] == vals[ok]
+    return ok
+
+
+#: doc-local key packing for adjacency checks: key = local_doc_idx * 2^33
+#: + position.  local_doc_idx is dense per shard (< 2^30 by construction)
+#: and positions are < doc length < 2^33, so the packing never collides
+#: and ``key + i`` stays inside its doc's block for any phrase offset i.
+_POS_SHIFT = np.int64(1) << 33
+
+
+def _shard_phrase(encs: list[tuple[str, EncodedPostings]], seq: list[str],
+                  idfs: dict[str, float], k1: float, b: float,
+                  avg_dl: float, k: int) -> pd.DataFrame:
+    """Index-native phrase match over one shard's query-term postings:
+    conjunctive doc intersection, then adjacency verification from DECODED
+    POSITIONS (a doc matches iff some position p has seq[0]@p, seq[1]@p+1,
+    …), then conjunctive BM25 over the phrase's distinct terms — the same
+    fp accumulation order as ``_shard_exhaustive`` (term-ascending), so
+    scores are bit-identical to the prune+content-verify path.
+
+    Everything is vectorized: per-term (doc, position) pairs pack into one
+    sorted int64 key array and each adjacency step is a single
+    searchsorted — no per-doc Python.
+    """
+    uniq = sorted(set(seq))
+    by_term = dict(encs)
+    if any(t not in by_term for t in uniq):
+        # a term absent from this shard: no doc here can hold the phrase
+        # (every doc lives in exactly one shard)
+        return _EMPTY_TOPK.copy()
+    dec: dict[str, tuple] = {}
+    for t in uniq:
+        enc = by_term[t]
+        doc_ids, tfs, dls = decode_postings(enc)
+        dec[t] = (doc_ids, tfs, dls, decode_positions(enc, tfs))
+    # conjunctive doc intersection (ascending-unique per construction)
+    matched = dec[uniq[0]][0]
+    for t in uniq[1:]:
+        matched = matched[_isin_sorted(matched, dec[t][0])]
+        if matched.size == 0:
+            return _EMPTY_TOPK.copy()
+    # per-term (local_doc, position) keys restricted to the intersection —
+    # a ragged gather per term, all index arithmetic
+    keys: dict[str, np.ndarray] = {}
+    for t in uniq:
+        doc_ids, tfs, dls, pos = dec[t]
+        offs = np.concatenate(([0], np.cumsum(tfs)))
+        sel = np.searchsorted(doc_ids, matched)     # matched ⊆ doc_ids
+        lens_sel = tfs[sel]
+        total = int(lens_sel.sum())
+        loc_cum = np.concatenate(([0], np.cumsum(lens_sel[:-1])))
+        out_idx = np.repeat(offs[sel] - loc_cum, lens_sel) \
+            + np.arange(total, dtype=np.int64)
+        locrep = np.repeat(np.arange(matched.size, dtype=np.int64),
+                           lens_sel)
+        keys[t] = locrep * _POS_SHIFT + pos[out_idx]   # ascending
+    cand = keys[seq[0]]
+    for i in range(1, len(seq)):
+        cand = cand[_isin_sorted(cand + np.int64(i), keys[seq[i]])]
+        if cand.size == 0:
+            return _EMPTY_TOPK.copy()
+    ph_docs = matched[np.unique(cand // _POS_SHIFT)]
+    # conjunctive BM25, contributions added term-ascending (fp parity
+    # with _shard_exhaustive's bincount accumulation)
+    score = np.zeros(ph_docs.size, dtype=np.float64)
+    for t in uniq:
+        doc_ids, tfs, dls, _pos = dec[t]
+        sel = np.searchsorted(doc_ids, ph_docs)
+        score += _score_arrays(tfs[sel], dls[sel], idfs[t], k1, b, avg_dl)
+    order = np.lexsort((ph_docs, -score))[:k]
+    return pd.DataFrame({"doc_id": ph_docs[order],
+                         "score": score[order]}).astype(
+        {"doc_id": "int64", "score": "float64"})
+
+
+def phrase_topk(spark: SparkSession, generation_dir: str,
+                source: DataFrame | None, phrase_terms: list[str],
+                k: int = 10, *,
                 cand_limit: int = 100_000,
                 cfg: IndexConfig | None = None,
-                id_cols: tuple[str, ...] = ("repo", "path", "commit")
-                ) -> DataFrame:
+                id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+                use_positions: bool | None = None) -> DataFrame:
     """ES ``match_phrase``: top-k docs containing the EXACT analyzed token
     sequence, scored by the conjunctive BM25 of the phrase's terms →
     DataFrame(doc_id long, score double), ordered.
 
-    The index stores no positions, so this is the classic two-phase
-    substitute:
+    Two physical strategies, picked by what the generation stores:
 
-    1. **PRUNE via the index** — conjunctive (AND) postings intersection
-       over the phrase's distinct terms, keeping the top ``cand_limit``
-       candidates by score: candidates ≤ min(df of the rarest term,
-       cand_limit), and only (doc_id, score) rows leave the index.
-    2. **VERIFY adjacency on content** — candidate identity keys
-       broadcast-join into the source scan (the corpus-sized side streams,
-       content never shuffles), and the phrase test is ONE codegen
-       ``instr`` over the space-joined analyzed token stream — query-time
-       tokenization touches candidate rows only.
+    * **positions generation** (``store_positions=True``): fully
+      INDEX-NATIVE — conjunctive postings intersection + adjacency
+      verification from the decoded ``pos_blob`` streams, one shard
+      scatter-gather, EXACT for any phrase.  The source table is never
+      touched (``source`` may be ``None``); this is the Lucene-positions
+      path ES uses for match_phrase, and closes round 4's scale hazard
+      (the verify step used to re-scan + re-tokenize the ENTIRE source
+      per phrase query — a multi-hour full scan at 100 TB).
+    * **position-less generation**: the classic two-phase substitute —
+      (1) PRUNE via conjunctive (AND) postings intersection, keeping the
+      top ``cand_limit`` candidates by score (only (doc_id, score) rows
+      leave the index); (2) VERIFY adjacency on content: candidate
+      identity keys broadcast-join into the source scan (the corpus-sized
+      side streams, content never shuffles) and the phrase test is ONE
+      codegen ``instr`` over the space-joined analyzed token stream.
+      ``cand_limit`` is the exactness dial: exact whenever the AND-match
+      count is under it.
 
-    ``cand_limit`` is the exactness dial: results are exact whenever the
-    AND-matching doc count is under it (any phrase match IS an AND match);
-    truncation can only drop phrase docs whose conjunctive BM25 ranks
-    below ``cand_limit`` — acceptable for dense stopword phrases, raise it
-    for audits.  Reference analog: ES ``match_phrase`` (positions come
-    from Lucene there; a positional postings variant is the round-5
-    candidate).
+    ``use_positions`` forces a path (A/B tests); results are identical —
+    same docs, bit-identical scores (pinned by pytest).
     """
     cfg = cfg or load_config(generation_dir)
-    # ORDER- and MULTIPLICITY-preserving analysis: the phrase is a token
-    # SEQUENCE (analyze_query dedupes + sorts, which is right for bag-of-
-    # terms scoring but would corrupt the needle — "join customer" is not
-    # "customer join", and "beta beta" requires an actual repetition)
-    seq: list[str] = []
-    for t in phrase_terms:
-        seq.extend(tokenize_py(t, cfg.tokenizer))
+    if use_positions is None:
+        use_positions = bool(getattr(cfg, "store_positions", False))
+    seq = analyze_phrase(phrase_terms, cfg.tokenizer)
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not seq:
         return empty
+
+    if use_positions:
+        return _phrase_topk_index(spark, generation_dir, seq, k, cfg)
+
+    if source is None:
+        raise ValueError(
+            "phrase_topk on a position-less generation needs the source "
+            "table for adjacency verification; rebuild with "
+            "store_positions=True for index-native phrase queries")
     cand = topk(spark, generation_dir, sorted(set(seq)),
                 k=cand_limit, wand=False, mode="and", cfg=cfg)
     doclen = spark.read.parquet(FS.join(generation_dir, "doclen"))
@@ -503,6 +604,72 @@ def phrase_topk(spark: SparkSession, generation_dir: str, source: DataFrame,
                 .dropDuplicates(["doc_id"]))
     return verified.orderBy(F.col("score").desc(), F.col("doc_id").asc()) \
         .limit(k)
+
+
+def _phrase_topk_index(spark: SparkSession, generation_dir: str,
+                       seq: list[str], k: int,
+                       cfg: IndexConfig) -> DataFrame:
+    """Index-native phrase plan: postings scan filtered to the phrase's
+    distinct terms (``term IN (...)`` pushdown + row-group pruning, exactly
+    like :func:`topk`), dictionary broadcast for global dfs, per-shard
+    ``_shard_phrase``, global top-k window — ONE Spark action, no source
+    table anywhere in the plan."""
+    stats = load_stats(generation_dir)
+    n_docs, avg_dl = stats["num_docs"], stats["avg_dl"]
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if n_docs == 0 or avg_dl == 0:
+        return empty
+    terms = sorted(set(seq))
+    readers = _readers_for(spark, generation_dir)
+    postings = readers["postings"].filter(F.col("term").isin(terms))
+    idfs: dict[str, float] | None
+    if "dictionary" in readers:
+        d = (readers["dictionary"]
+             .filter(F.col("term").isin(terms))
+             .withColumnRenamed("df", "df_g"))
+        postings = postings.join(F.broadcast(d), "term", "inner")
+        idfs = None
+    else:
+        dfs = global_dfs(postings)
+        if not dfs:
+            return empty
+        idfs = {t: _idf(n_docs, df) for t, df in dfs.items()}
+    k1, b = cfg.k1, cfg.b
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if idfs is None:
+            local_idfs = {t: _idf(n_docs, int(g))
+                          for t, g in zip(pdf["term"], pdf["df_g"])}
+        else:
+            local_idfs = idfs
+        encs = [(r["term"], row_to_enc(r)) for _, r in pdf.iterrows()]
+        return _shard_phrase(encs, seq, local_idfs, k1, b,
+                             float(avg_dl), k)
+
+    local = postings.groupBy("shard").applyInPandas(
+        score_shard, schema="doc_id long, score double")
+    return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()) \
+        .limit(k)
+
+
+def phrase_topk_hydrated(spark: SparkSession, generation_dir: str,
+                         source: DataFrame | None,
+                         phrase_terms: list[str], k: int = 10, *,
+                         cand_limit: int = 100_000,
+                         cfg: IndexConfig | None = None,
+                         columns: list[str] | None = None,
+                         use_positions: bool | None = None) -> DataFrame:
+    """:func:`phrase_topk` with the source documents attached →
+    DataFrame(rank, doc_id, <passthrough cols>, score) — same broadcast
+    hydration shape as :func:`topk_hydrated` (k result rows into a
+    column-pruned doclen scan)."""
+    res = phrase_topk(spark, generation_dir, source, phrase_terms, k,
+                      cand_limit=cand_limit, cfg=cfg,
+                      use_positions=use_positions)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    ranked = res.withColumn("rank", F.row_number().over(w).cast("long"))
+    return hydrate_results(spark, generation_dir, ranked,
+                           columns=columns).orderBy("rank")
 
 
 #: doclen columns that are engine bookkeeping, not source passthrough —

@@ -32,7 +32,9 @@ from .functions.codec import row_to_enc
 from .operators.query import (
     _idf,
     _shard_exhaustive,
+    _shard_phrase,
     _shard_wand,
+    analyze_phrase,
     choose_scorer,
     analyze_query,
     load_config,
@@ -195,6 +197,53 @@ class LocalSearcher:
             merged.sort(key=lambda sd: (-sd[0], sd[1]))
             result[qid] = [(int(d), float(s)) for s, d in merged[:k]]
         return result
+
+    def search_phrase(self, phrase_terms: list[str],
+                      k: int = 10) -> list[tuple[int, float]]:
+        """ES ``match_phrase`` on the serving tier → [(doc_id, score)]
+        ordered by (score desc, doc_id asc).
+
+        Requires a positions generation (``store_positions=True``): the
+        adjacency check runs entirely off the artifact's decoded
+        ``pos_blob`` streams — same ``_shard_phrase`` kernel as the Spark
+        path (``operators.query.phrase_topk``), so results are
+        rank- and score-identical (pinned by pytest)."""
+        import pyarrow.dataset as ds
+
+        seq = analyze_phrase(phrase_terms, self.cfg.tokenizer)
+        if not seq or self.num_docs == 0 or self.avg_dl == 0:
+            return []
+        if not getattr(self.cfg, "store_positions", False):
+            raise ValueError(
+                "search_phrase needs a positions generation "
+                "(store_positions=True); this index stores none")
+        terms = sorted(set(seq))
+        tbl = self.postings.to_table(filter=ds.field("term").isin(terms))
+        if tbl.num_rows == 0:
+            return []
+        dfs = self._dfs(terms, tbl)
+        if any(t not in dfs for t in terms):
+            return []  # a phrase term absent from the whole corpus
+        idfs = {t: _idf(self.num_docs, df) for t, df in dfs.items()}
+
+        by_shard: dict[int, list] = {}
+        for r in tbl.to_pylist():
+            by_shard.setdefault(int(r["shard"]), []).append(
+                (r["term"], row_to_enc(r)))
+
+        def score_shard(encs) -> list[tuple[float, int]]:
+            top = _shard_phrase(encs, seq, idfs, self.cfg.k1, self.cfg.b,
+                                float(self.avg_dl), k)
+            return list(zip(top["score"], top["doc_id"]))
+
+        groups = list(by_shard.values())
+        if self._pool is not None and len(groups) > 1:
+            tops = list(self._pool.map(score_shard, groups))
+        else:
+            tops = [score_shard(g) for g in groups]
+        merged = [sd for t in tops for sd in t]
+        merged.sort(key=lambda sd: (-sd[0], sd[1]))
+        return [(int(d), float(s)) for s, d in merged[:k]]
 
     def search_hydrated(self, query_terms: list[str], k: int = 10, *,
                         wand: bool = False, mode: str = "or",
