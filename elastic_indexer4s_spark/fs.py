@@ -131,18 +131,46 @@ def delete_file(path: str) -> None:
     fs.delete_file(p)
 
 
+#: scheme -> callable(path: str, data: bytes) -> bool.  A registered backend
+#: plugs a store's NATIVE conditional-put ("create iff absent": S3
+#: If-None-Match:*, GCS ifGenerationMatch=0, ABS If-None-Match) into
+#: create_exclusive, turning the alias-manifest lock into a true CAS on
+#: that store instead of the check-then-write fallback.
+_EXCLUSIVE_BACKENDS: dict[str, "object"] = {}
+
+
+def register_exclusive_backend(scheme: str, fn) -> None:
+    """Register a conditional-put primitive for ``scheme`` (e.g. "s3").
+    ``fn(path, data) -> bool`` must atomically create ``path`` with
+    ``data`` iff it does not exist, returning whether THIS call created
+    it; the store's own precondition machinery provides the atomicity.
+    Pass ``None`` to unregister."""
+    key = scheme.lower()
+    if fn is None:
+        _EXCLUSIVE_BACKENDS.pop(key, None)
+    else:
+        _EXCLUSIVE_BACKENDS[key] = fn
+
+
 def create_exclusive(path: str, data: bytes = b"") -> bool:
     """Create-if-absent: True when THIS call created the file, False when it
     already existed — the primitive mutual-exclusion building block for the
-    alias-manifest lock.  ONLY local filesystems get a true O_EXCL create
-    (atomic even across processes).  Every other filesystem — including
-    HDFS: pyarrow's open_output_stream exposes no exclusive-create flag
-    and overwrites — falls back to check-then-write, which narrows but
-    cannot close the race; multi-writer catalogs on non-local stores need
-    a store with conditional puts (the caller's owner-token re-check in
-    plans/catalog narrows the remaining window further but is not a
-    guarantee).
+    alias-manifest lock.
+
+    Resolution order: (1) a registered conditional-put backend for the
+    path's scheme (object stores with native preconditions — a true CAS);
+    (2) local filesystems get a real O_EXCL create (atomic even across
+    processes); (3) everything else — including HDFS: pyarrow's
+    open_output_stream exposes no exclusive-create flag and overwrites —
+    falls back to check-then-write, which narrows but cannot close the
+    race (the caller's owner-token re-check in plans/catalog narrows the
+    remaining window further but is not a guarantee).
     """
+    m = _SCHEME_RE.match(path)
+    if m:
+        backend = _EXCLUSIVE_BACKENDS.get(path[:m.end() - 3].lower())
+        if backend is not None:
+            return bool(backend(path, data))
     fs, p = resolve(path)
     if isinstance(fs, pafs.LocalFileSystem):
         import os

@@ -84,10 +84,11 @@ class GenerationCatalog:
         each PUBLISH atomic, not the read-modify-write.
 
         Protocol: create ``_aliases.json.lock`` with create-if-absent
-        semantics (true O_EXCL locally; non-local filesystems degrade to
-        check-then-write — see fs.create_exclusive — so multi-writer
-        catalogs on HDFS/object stores should use a store with conditional
-        puts); retry with backoff up to ``lock_timeout_s``; a lock older
+        semantics (true O_EXCL locally; object stores plug their native
+        conditional put in via ``fs.register_exclusive_backend`` — a true
+        CAS; filesystems with neither degrade to check-then-write — see
+        fs.create_exclusive); retry with backoff up to
+        ``lock_timeout_s``; a lock older
         than ``lock_stale_s`` is presumed abandoned (writer died
         mid-mutation) and is broken.  The lock body carries a unique owner
         token: ownership is re-verified immediately before the publish and

@@ -119,6 +119,84 @@ def test_lsh_single_table_param_stamp(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# conditional-put lock backend (VERDICT r4 #6)
+# ---------------------------------------------------------------------------
+
+def test_create_exclusive_cas_backend():
+    from elastic_indexer4s_spark import fs as FS
+
+    store: dict[str, bytes] = {}
+
+    def cas(path, data):
+        # the store's own precondition machinery: create iff absent
+        if path in store:
+            return False
+        store[path] = data
+        return True
+
+    FS.register_exclusive_backend("cas", cas)
+    try:
+        assert FS.create_exclusive("cas://bkt/lock", b"tok1") is True
+        assert FS.create_exclusive("cas://bkt/lock", b"tok2") is False
+        assert store["cas://bkt/lock"] == b"tok1"
+        # other paths on the scheme are independent objects
+        assert FS.create_exclusive("cas://bkt/other", b"x") is True
+    finally:
+        FS.register_exclusive_backend("cas", None)
+    # unregistered again: the scheme would now need a real filesystem
+    assert "cas" not in FS._EXCLUSIVE_BACKENDS
+
+
+def test_catalog_lock_uses_cas_backend(tmp_path):
+    """The alias-manifest lock must route through a registered
+    conditional-put backend end-to-end: a ``file://`` root with an
+    injected backend standing in for the store's precondition API — every
+    lock acquisition must go through it, never the fallback path."""
+    import os
+
+    from elastic_indexer4s_spark import fs as FS
+    from elastic_indexer4s_spark.plans.catalog import GenerationCatalog
+
+    calls: list[str] = []
+
+    def cas(path, data):
+        calls.append(path)
+        local = path[len("file://"):]
+        try:  # the injected "store primitive" (atomic create-iff-absent)
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return True
+
+    root = f"file://{tmp_path}/r5root"
+    FS.register_exclusive_backend("file", cas)
+    try:
+        cat = GenerationCatalog(root)
+        cat.add_alias("live", "gen_a")
+        cat.add_alias("live", "gen_b")
+        cat.remove_alias("live", "gen_a")
+        assert cat._read_aliases() == {"live": ["gen_b"]}
+        # every manifest mutation took the lock through the CAS primitive
+        assert len(calls) >= 3
+        assert all(p.endswith("_aliases.json.lock") for p in calls)
+        # the lock was released each time (no leftover lock object)
+        assert not os.path.exists(f"{tmp_path}/r5root/_aliases.json.lock")
+        # a held lock makes the next CAS acquisition return False (the
+        # contended branch) and the waiter times out instead of clobbering
+        import time as _t
+        assert FS.create_exclusive(f"{root}/_aliases.json.lock",
+                                   f"{_t.time()}:held".encode())
+        cat2 = GenerationCatalog(root, lock_timeout_s=0.2, lock_stale_s=60)
+        with pytest.raises(TimeoutError):
+            cat2.add_alias("live", "gen_c")
+        assert calls[-1].endswith("_aliases.json.lock")
+    finally:
+        FS.register_exclusive_backend("file", None)
+
+
+# ---------------------------------------------------------------------------
 # stopword regex escaping (ADVICE r4 #3)
 # ---------------------------------------------------------------------------
 
