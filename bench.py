@@ -167,6 +167,54 @@ def main() -> None:
     timings["bm25_local_p50"] = round(lp50, 4)
     timings["bm25_local_p99"] = round(lp99, 4)
 
+    # --- positional postings: build cost + index-native phrase (round 5) --
+    # Same corpus, store_positions=True: quantifies the positions tax on
+    # build throughput, then times phrase queries on all three paths —
+    # index-native Spark, serving tier, and the pre-round-5 content-verify
+    # shape (which re-scans the source per query; kept as the A/B).
+    from elastic_indexer4s_spark.operators.query import phrase_topk
+    gen_pos = os.path.join(tempfile.gettempdir(), "ei4s_bench_gen_pos")
+    shutil.rmtree(gen_pos, ignore_errors=True)
+    cfg_pos = IndexConfig(num_shards=CPUS, block_size=128,
+                          store_positions=True)
+    t0 = time.monotonic()
+    res = build_index(spark, corpus, cfg_pos, gen_pos)
+    timings["index_build_pos"] = round(time.monotonic() - t0, 3)
+    assert isinstance(res, RunResult), str(res)
+    phrase_q = ["customer", "join"]
+    phrase_topk(spark, gen_pos, None, phrase_q, k=10).count()     # warm
+    lat_p = []
+    for _ in range(5):
+        tq = time.monotonic()
+        phrase_topk(spark, gen_pos, None, phrase_q, k=10).count()
+        lat_p.append(time.monotonic() - tq)
+    timings["phrase_spark"] = round(sorted(lat_p)[len(lat_p) // 2], 3)
+    tq = time.monotonic()
+    phrase_topk(spark, gen_pos, corpus, phrase_q, k=10,
+                use_positions=False).count()
+    timings["phrase_content_verify"] = round(time.monotonic() - tq, 3)
+    psearch = LocalSearcher(gen_pos)
+    psearch.search_phrase(phrase_q, 10)                           # warm
+    lat_ps = []
+    for _ in range(5):
+        tq = time.monotonic()
+        psearch.search_phrase(phrase_q, 10)
+        lat_ps.append(time.monotonic() - tq)
+    timings["phrase_serving"] = round(sorted(lat_ps)[len(lat_ps) // 2], 4)
+    shutil.rmtree(gen_pos, ignore_errors=True)
+
+    # --- boosted multi-field search (round 5) -----------------------------
+    # per-field generations build UNTIMED (first call); the timed number is
+    # the warm combined query — two pushdown-filtered postings scans + the
+    # integer-unit combine
+    dc.QUERIES["multi_match"](spark, SF_DIR).count()              # build+warm
+    lat_mm = []
+    for _ in range(3):
+        tq = time.monotonic()
+        dc.QUERIES["multi_match"](spark, SF_DIR).count()
+        lat_mm.append(time.monotonic() - tq)
+    timings["multi_match"] = round(sorted(lat_mm)[len(lat_mm) // 2], 3)
+
     # --- operator suite ---------------------------------------------------
     for name in BENCH_QUERIES:
         fn = dc.QUERIES[name]
