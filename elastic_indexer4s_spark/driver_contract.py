@@ -498,6 +498,51 @@ def q_engine_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+#: ordered-proximity slop for the engine_phrase_slop row: "customer ...
+#: join" within 1+2 positions — strictly more docs than the exact phrase
+PHRASE_SLOP = 2
+
+
+def q_engine_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity phrase (ordered slop — operators.query.phrase_topk
+    slop=N): consecutive phrase tokens within 1+slop positions, verified
+    from the positional index.  Same deep-margin re-selection as
+    engine_phrase."""
+    from .operators.query import phrase_topk
+
+    gen = _generation_for(spark, sf_dir)
+    res = phrase_topk(spark, gen, None, PHRASE, k=100, slop=PHRASE_SLOP)
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
+    return (res.join(ids, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(10))
+
+
+def q_engine_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight analog (operators.query.highlight_topk): top-k BM25
+    plus each matched term's 0-based token positions per document,
+    straight from the positional index (no source read).  Deep margin +
+    re-selection of the top-10 DOCS on the oracle key; the (doc, term)
+    position rows of the winners all survive."""
+    from .operators.query import highlight_topk
+
+    gen = _generation_for(spark, sf_dir)
+    res = highlight_topk(spark, gen, FLAGSHIP_TERMS, k=100, wand=False)
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
+    r = res.join(ids, "doc_id")
+    docs = r.select("orig_id", F.round("score", 6).alias("_s")).distinct()
+    w = Window.orderBy(F.col("_s").desc(), F.col("orig_id").asc())
+    top = (docs.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= 10).select("orig_id"))
+    return (r.join(top, "orig_id")
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 6).alias("score"), "term", "positions"))
+
+
 def q_engine_phrase_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-tier phrase (LocalSearcher.search_phrase): pyarrow artifact
     read + the same positional ``_shard_phrase`` kernel as the Spark path,
@@ -1145,6 +1190,44 @@ ORDER BY a.score DESC, a.doc_id LIMIT 10"""
     # artifact, so the identical oracle applies
     oracles["engine_phrase_local"] = oracles["engine_phrase"]
 
+    # ordered-proximity slop (2-token phrase): token B within 1..1+slop
+    # positions AFTER token A — the exact semantics _shard_phrase applies
+    oracles["engine_phrase_slop"] = f"""
+WITH {_bm25_sql(phrase_values, CODE_TOK)},
+cnt AS (SELECT query_id, doc_id, count(*) AS nt
+        FROM scored GROUP BY query_id, doc_id),
+anddocs AS (SELECT agg.doc_id, agg.score FROM agg
+            JOIN cnt USING (query_id, doc_id)
+            WHERE cnt.nt = {len(set(PHRASE))}),
+toks2 AS (SELECT doc_id, {CODE_TOK} AS toks FROM documents),
+pos2 AS (SELECT doc_id, unnest(toks) AS tok,
+                generate_subscripts(toks, 1) AS p
+         FROM toks2),
+prox AS (SELECT DISTINCT a.doc_id FROM pos2 a JOIN pos2 b USING (doc_id)
+         WHERE a.tok = '{PHRASE[0]}' AND b.tok = '{PHRASE[1]}'
+           AND b.p - a.p BETWEEN 1 AND {1 + PHRASE_SLOP})
+SELECT a.doc_id, a.score FROM anddocs a JOIN prox USING (doc_id)
+ORDER BY a.score DESC, a.doc_id LIMIT 10"""
+
+    # highlight: top-10 docs (oracle key), then every flagship term's
+    # 0-based positions per doc, csv ascending — exactly what
+    # highlight_topk emits from the decoded pos_blob streams
+    oracles["engine_highlight"] = f"""
+WITH {_bm25_sql(_flagship_values(), CODE_TOK)},
+r AS (SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM agg),
+top AS (SELECT doc_id, score FROM r WHERE rank <= 10),
+toks2 AS (SELECT doc_id, {CODE_TOK} AS toks FROM documents),
+pos2 AS (SELECT doc_id, unnest(toks) AS tok,
+                generate_subscripts(toks, 1) - 1 AS p
+         FROM toks2)
+SELECT top.doc_id, top.score, pos2.tok AS term,
+       string_agg(pos2.p::VARCHAR, ',' ORDER BY pos2.p) AS positions
+FROM top JOIN pos2 USING (doc_id)
+WHERE pos2.tok IN ({", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)})
+GROUP BY top.doc_id, top.score, pos2.tok"""
+
     # boosted multi_match: independent BM25 chains per field (content =
     # text, repo = the source column — both under the code analyzer, each
     # with its OWN corpus stats), per-field 6-dp round, then the exact
@@ -1636,6 +1719,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_topk_hydrated": q_engine_topk_hydrated,
     "engine_phrase": q_engine_phrase,
     "engine_phrase_local": q_engine_phrase_local,
+    "engine_phrase_slop": q_engine_phrase_slop,
+    "engine_highlight": q_engine_highlight,
     "multi_match": q_multi_match,
     "lifecycle_retention": q_lifecycle_retention,
     "lifecycle_alias_gate": q_lifecycle_alias_gate,

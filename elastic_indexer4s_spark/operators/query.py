@@ -469,7 +469,7 @@ _POS_SHIFT = np.int64(1) << 33
 
 def _shard_phrase(encs: list[tuple[str, EncodedPostings]], seq: list[str],
                   idfs: dict[str, float], k1: float, b: float,
-                  avg_dl: float, k: int) -> pd.DataFrame:
+                  avg_dl: float, k: int, slop: int = 0) -> pd.DataFrame:
     """Index-native phrase match over one shard's query-term postings:
     conjunctive doc intersection, then adjacency verification from DECODED
     POSITIONS (a doc matches iff some position p has seq[0]@p, seq[1]@p+1,
@@ -477,9 +477,16 @@ def _shard_phrase(encs: list[tuple[str, EncodedPostings]], seq: list[str],
     fp accumulation order as ``_shard_exhaustive`` (term-ascending), so
     scores are bit-identical to the prune+content-verify path.
 
+    ``slop`` > 0 relaxes adjacency to ORDERED PROXIMITY: each consecutive
+    phrase token may sit up to ``slop`` extra positions after its
+    predecessor (gap ∈ [1, 1+slop]).  This is deliberately the simple
+    ordered semantics, not Lucene's SloppyPhraseScorer edit-distance
+    (which also permits reorders at slop ≥ 2) — documented, monotone
+    (slop=0 ≡ exact phrase), and SQL-expressible for the oracle.
+
     Everything is vectorized: per-term (doc, position) pairs pack into one
-    sorted int64 key array and each adjacency step is a single
-    searchsorted — no per-doc Python.
+    sorted int64 key array and each proximity step is ``slop+1``
+    searchsorted passes — no per-doc Python.
     """
     uniq = sorted(set(seq))
     by_term = dict(encs)
@@ -513,9 +520,16 @@ def _shard_phrase(encs: list[tuple[str, EncodedPostings]], seq: list[str],
         locrep = np.repeat(np.arange(matched.size, dtype=np.int64),
                            lens_sel)
         keys[t] = locrep * _POS_SHIFT + pos[out_idx]   # ascending
+    # cand tracks the key of the CURRENT (last-matched) token occurrence;
+    # a next-token occurrence q extends a chain iff some prior end sits at
+    # q-1 .. q-1-slop (same doc by packing: the gap never crosses a block)
     cand = keys[seq[0]]
     for i in range(1, len(seq)):
-        cand = cand[_isin_sorted(cand + np.int64(i), keys[seq[i]])]
+        ki = keys[seq[i]]
+        mask = np.zeros(ki.size, dtype=bool)
+        for d in range(1, slop + 2):
+            mask |= _isin_sorted(ki - np.int64(d), cand)
+        cand = ki[mask]
         if cand.size == 0:
             return _EMPTY_TOPK.copy()
     ph_docs = matched[np.unique(cand // _POS_SHIFT)]
@@ -535,6 +549,7 @@ def _shard_phrase(encs: list[tuple[str, EncodedPostings]], seq: list[str],
 def phrase_topk(spark: SparkSession, generation_dir: str,
                 source: DataFrame | None, phrase_terms: list[str],
                 k: int = 10, *,
+                slop: int = 0,
                 cand_limit: int = 100_000,
                 cfg: IndexConfig | None = None,
                 id_cols: tuple[str, ...] = ("repo", "path", "commit"),
@@ -565,6 +580,11 @@ def phrase_topk(spark: SparkSession, generation_dir: str,
 
     ``use_positions`` forces a path (A/B tests); results are identical —
     same docs, bit-identical scores (pinned by pytest).
+
+    ``slop`` relaxes adjacency to ordered proximity (consecutive tokens
+    within ``1+slop`` positions — see :func:`_shard_phrase`); it requires
+    the positional index (the content-verify ``instr`` test cannot
+    express gaps).
     """
     cfg = cfg or load_config(generation_dir)
     if use_positions is None:
@@ -575,8 +595,13 @@ def phrase_topk(spark: SparkSession, generation_dir: str,
         return empty
 
     if use_positions:
-        return _phrase_topk_index(spark, generation_dir, seq, k, cfg)
+        return _phrase_topk_index(spark, generation_dir, seq, k, cfg,
+                                  slop=slop)
 
+    if slop:
+        raise ValueError("slop > 0 needs the positional index "
+                         "(store_positions=True); the content-verify "
+                         "path only tests exact adjacency")
     if source is None:
         raise ValueError(
             "phrase_topk on a position-less generation needs the source "
@@ -608,7 +633,7 @@ def phrase_topk(spark: SparkSession, generation_dir: str,
 
 def _phrase_topk_index(spark: SparkSession, generation_dir: str,
                        seq: list[str], k: int,
-                       cfg: IndexConfig) -> DataFrame:
+                       cfg: IndexConfig, slop: int = 0) -> DataFrame:
     """Index-native phrase plan: postings scan filtered to the phrase's
     distinct terms (``term IN (...)`` pushdown + row-group pruning, exactly
     like :func:`topk`), dictionary broadcast for global dfs, per-shard
@@ -644,7 +669,7 @@ def _phrase_topk_index(spark: SparkSession, generation_dir: str,
             local_idfs = idfs
         encs = [(r["term"], row_to_enc(r)) for _, r in pdf.iterrows()]
         return _shard_phrase(encs, seq, local_idfs, k1, b,
-                             float(avg_dl), k)
+                             float(avg_dl), k, slop=slop)
 
     local = postings.groupBy("shard").applyInPandas(
         score_shard, schema="doc_id long, score double")
@@ -652,9 +677,102 @@ def _phrase_topk_index(spark: SparkSession, generation_dir: str,
         .limit(k)
 
 
+def highlight_topk(spark: SparkSession, generation_dir: str,
+                   query_terms: list[str], k: int = 10, *,
+                   wand: bool | str = False, mode: str = "or",
+                   cfg: IndexConfig | None = None) -> DataFrame:
+    """ES *highlighting* analog, served straight from the positional index:
+    top-k BM25 docs plus, per matched query term, the term's token
+    positions in that document → DataFrame(doc_id long, score double,
+    term string, positions string) — ``positions`` is the ascending
+    0-based offsets joined by commas (one row per (doc, term) the doc
+    actually contains).
+
+    ES builds highlight fragments from term offsets/positions (Lucene
+    postings highlighter); a caller here does the same — the positions
+    index into the ANALYZED token stream, so the snippet builder
+    re-tokenizes just the k docs it displays.  Requires a positions
+    generation; the whole query stays one scan + one shard scatter-gather
+    (the positions ride the same posting rows already being decoded — no
+    extra read).
+    """
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    cfg = cfg or load_config(generation_dir)
+    if not getattr(cfg, "store_positions", False):
+        raise ValueError("highlight_topk needs a positions generation "
+                         "(store_positions=True)")
+    stats = load_stats(generation_dir)
+    n_docs, avg_dl = stats["num_docs"], stats["avg_dl"]
+    terms = analyze_query(query_terms, cfg.tokenizer)
+    out_ddl = "doc_id long, score double, term string, positions string"
+    empty = spark.createDataFrame([], out_ddl)
+    if not terms or n_docs == 0 or avg_dl == 0:
+        return empty
+    readers = _readers_for(spark, generation_dir)
+    postings = readers["postings"].filter(F.col("term").isin(terms))
+    idfs: dict[str, float] | None
+    if "dictionary" in readers:
+        d = (readers["dictionary"]
+             .filter(F.col("term").isin(terms))
+             .withColumnRenamed("df", "df_g"))
+        postings = postings.join(F.broadcast(d), "term", "inner")
+        idfs = None
+    else:
+        dfs = global_dfs(postings)
+        if not dfs:
+            return empty
+        idfs = {t: _idf(n_docs, df) for t, df in dfs.items()}
+    k1, b = cfg.k1, cfg.b
+    require_all = len(terms) if mode == "and" else 0
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if idfs is None:
+            local_dfs = {t: int(g) for t, g in zip(pdf["term"], pdf["df_g"])}
+            local_idfs = {t: _idf(n_docs, g) for t, g in local_dfs.items()}
+        else:
+            local_dfs, local_idfs = dfs, idfs
+        scorer = choose_scorer(wand, local_dfs, n_docs)
+        encs = [(r["term"], row_to_enc(r)) for _, r in pdf.iterrows()]
+        top = scorer(encs, local_idfs, k1, b, float(avg_dl), k, require_all)
+        if not len(top):
+            return pd.DataFrame(columns=["doc_id", "score", "term",
+                                         "positions"])
+        td = top["doc_id"].to_numpy()
+        ts = top["score"].to_numpy()
+        rows = []
+        # k·|terms| position gathers over already-decoded postings — the
+        # loop is bounded by the RESULT size, not the corpus
+        for term, enc in sorted(encs, key=lambda x: x[0]):
+            doc_ids, tfs, _dls = decode_postings(enc)
+            pos = decode_positions(enc, tfs)
+            offs = np.concatenate(([0], np.cumsum(tfs)))
+            idx = np.searchsorted(doc_ids, td)
+            ok = idx < doc_ids.size
+            ok[ok] = doc_ids[idx[ok]] == td[ok]
+            for j in np.nonzero(ok)[0]:
+                i = int(idx[j])
+                p = pos[offs[i]:offs[i + 1]]
+                rows.append((int(td[j]), float(ts[j]), term,
+                             ",".join(str(int(x)) for x in p)))
+        return pd.DataFrame(rows, columns=["doc_id", "score", "term",
+                                           "positions"])
+
+    local = postings.groupBy("shard").applyInPandas(score_shard, out_ddl)
+    # global top-k over DISTINCT docs (each doc's term rows share its
+    # score), then keep all term rows of the winners
+    top_docs = (local.select("doc_id", "score").distinct()
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k).select("doc_id"))
+    return (local.join(F.broadcast(top_docs), "doc_id")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc(),
+                     F.col("term").asc()))
+
+
 def phrase_topk_hydrated(spark: SparkSession, generation_dir: str,
                          source: DataFrame | None,
                          phrase_terms: list[str], k: int = 10, *,
+                         slop: int = 0,
                          cand_limit: int = 100_000,
                          cfg: IndexConfig | None = None,
                          columns: list[str] | None = None,
@@ -664,7 +782,7 @@ def phrase_topk_hydrated(spark: SparkSession, generation_dir: str,
     hydration shape as :func:`topk_hydrated` (k result rows into a
     column-pruned doclen scan)."""
     res = phrase_topk(spark, generation_dir, source, phrase_terms, k,
-                      cand_limit=cand_limit, cfg=cfg,
+                      slop=slop, cand_limit=cand_limit, cfg=cfg,
                       use_positions=use_positions)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     ranked = res.withColumn("rank", F.row_number().over(w).cast("long"))

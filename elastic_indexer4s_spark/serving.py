@@ -199,9 +199,11 @@ class LocalSearcher:
         return result
 
     def search_phrase(self, phrase_terms: list[str],
-                      k: int = 10) -> list[tuple[int, float]]:
+                      k: int = 10, *,
+                      slop: int = 0) -> list[tuple[int, float]]:
         """ES ``match_phrase`` on the serving tier → [(doc_id, score)]
-        ordered by (score desc, doc_id asc).
+        ordered by (score desc, doc_id asc).  ``slop`` relaxes adjacency
+        to ordered proximity (gap ≤ 1+slop per consecutive pair).
 
         Requires a positions generation (``store_positions=True``): the
         adjacency check runs entirely off the artifact's decoded
@@ -233,7 +235,7 @@ class LocalSearcher:
 
         def score_shard(encs) -> list[tuple[float, int]]:
             top = _shard_phrase(encs, seq, idfs, self.cfg.k1, self.cfg.b,
-                                float(self.avg_dl), k)
+                                float(self.avg_dl), k, slop=slop)
             return list(zip(top["score"], top["doc_id"]))
 
         groups = list(by_shard.values())
@@ -244,6 +246,51 @@ class LocalSearcher:
         merged = [sd for t in tops for sd in t]
         merged.sort(key=lambda sd: (-sd[0], sd[1]))
         return [(int(d), float(s)) for s, d in merged[:k]]
+
+    def search_highlight(self, query_terms: list[str], k: int = 10, *,
+                         wand: bool = False,
+                         mode: str = "or") -> list[dict]:
+        """ES highlighting on the serving tier: top-k hits plus each
+        matched term's 0-based token positions, straight from the
+        artifact's ``pos_blob`` streams →
+        ``[{"doc_id", "score", "term", "positions": [int, ...]}, ...]``
+        ordered (score desc, doc_id asc, term asc) — the serving twin of
+        ``operators.query.highlight_topk`` (identical docs/scores/
+        positions, pinned by pytest).  Requires a positions generation."""
+        import numpy as np
+        import pyarrow.dataset as ds
+
+        from .functions.codec import decode_positions, decode_postings
+
+        if not getattr(self.cfg, "store_positions", False):
+            raise ValueError(
+                "search_highlight needs a positions generation "
+                "(store_positions=True); this index stores none")
+        hits = self.search(query_terms, k, wand=wand, mode=mode)
+        if not hits:
+            return []
+        terms = analyze_query(query_terms, self.cfg.tokenizer)
+        tbl = self.postings.to_table(filter=ds.field("term").isin(terms))
+        by_doc_score = dict(hits)
+        want = np.array(sorted(by_doc_score), dtype=np.int64)
+        out = []
+        for r in tbl.to_pylist():
+            enc = row_to_enc(r)
+            doc_ids, tfs, _dls = decode_postings(enc)
+            pos = decode_positions(enc, tfs)
+            offs = np.concatenate(([0], np.cumsum(tfs)))
+            idx = np.searchsorted(doc_ids, want)
+            ok = idx < doc_ids.size
+            ok[ok] = doc_ids[idx[ok]] == want[ok]
+            for j in np.nonzero(ok)[0]:
+                i = int(idx[j])
+                did = int(want[j])
+                out.append({"doc_id": did, "score": by_doc_score[did],
+                            "term": r["term"],
+                            "positions": [int(x) for x in
+                                          pos[offs[i]:offs[i + 1]]]})
+        out.sort(key=lambda d: (-d["score"], d["doc_id"], d["term"]))
+        return out
 
     def search_hydrated(self, query_terms: list[str], k: int = 10, *,
                         wand: bool = False, mode: str = "or",

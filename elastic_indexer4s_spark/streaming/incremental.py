@@ -93,6 +93,37 @@ def topk_multi(spark: SparkSession, index_root: str,
                        F.col("doc_id")).limit(k)
 
 
+def phrase_multi(spark: SparkSession, index_root: str,
+                 phrase_terms: list[str], k: int = 10, *,
+                 alias: str = SEGMENT_ALIAS, slop: int = 0) -> DataFrame:
+    """Scatter-gather PHRASE top-k across every segment under ``alias`` —
+    the streaming twin of :func:`topk_multi` for ``match_phrase``.
+
+    Segments built with ``store_positions=True`` verify adjacency from
+    their own positional postings (index-native, no source anywhere), so
+    a continuously-ingesting corpus serves phrase queries the same way a
+    compacted one does; per-segment BM25 stats are segment-local, like
+    every multi-segment query here.  One Spark action for N segments."""
+    from ..operators.query import phrase_topk
+
+    cat = GenerationCatalog(index_root)
+    segments = cat.indices_by_age_for(alias)
+    parts = []
+    for name in segments:
+        parts.append(
+            phrase_topk(spark, cat.path(name), None, phrase_terms, k,
+                        slop=slop)
+            .withColumn("segment", F.lit(name)))
+    if not parts:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, segment string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.col("score").desc(), F.col("segment"),
+                       F.col("doc_id")).limit(k)
+
+
 def compact_segments(spark: SparkSession, index_root: str,
                      source_df: DataFrame, cfg: IndexConfig,
                      alias: str = SEGMENT_ALIAS,

@@ -177,6 +177,20 @@ def main() -> None:
           "dictionary, one postings scan", ok,
           (m_pf.group(0)[:90] if m_pf else "no pushdown found"))
 
+    # --- 6. round-5 shape: index-native phrase never reads the source -----
+    from elastic_indexer4s_spark.operators.query import phrase_topk
+    ph = phrase_topk(spark, gen, None, ["customer", "join"], k=5)
+    plan = plan_of(ph)
+    # tree nodes only — the formatted explain repeats each scan in the
+    # detail section, so a bare "Scan parquet" count double-counts
+    n_scans = len(re.findall(r"Scan parquet\s+\(\d+\)", plan))
+    ok = ("content" not in plan
+          and re.search(r"In\(term", plan) is not None
+          and n_scans == 2)       # postings + dictionary, nothing else
+    check("index-native phrase: postings+dictionary scans only, term IN "
+          f"pushdown, source/doclen never read (found {n_scans} scans)",
+          ok, "")
+
     spark.stop()
     sys.exit(1 if FAIL else 0)
 

@@ -227,6 +227,131 @@ def test_bm25_results_unchanged_with_positions(spark, pos_index, tiny_index):
         assert a == b, terms
 
 
+def _key2id(spark, gen):
+    import os
+    doclen = spark.read.parquet(os.path.join(gen, "doclen")).collect()
+    return {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in doclen}
+
+
+def test_phrase_slop_monotone_and_groundtruth(spark, pos_index, tiny_corpus):
+    from elastic_indexer4s_spark.functions.tokenizer import tokenize_py
+    from elastic_indexer4s_spark.serving import LocalSearcher
+
+    gen, cfg, _src = pos_index
+    phrase = ["token", "index"]
+    sets = {}
+    for slop in (0, 1, 3):
+        hits = Q.phrase_topk(spark, gen, None, phrase, k=1000,
+                             slop=slop).collect()
+        sets[slop] = {r["doc_id"] for r in hits}
+    # ordered proximity is monotone in slop, anchored at the exact phrase
+    assert sets[0] <= sets[1] <= sets[3]
+    assert len(sets[3]) >= len(sets[0])
+    # ground truth for slop=1: some "index" 1..2 positions after a "token"
+    k2i = _key2id(spark, gen)
+    truth = set()
+    for d in tiny_corpus:
+        toks = tokenize_py(d.content, cfg.tokenizer)
+        ps = {i for i, t in enumerate(toks) if t == "token"}
+        qs = [i for i, t in enumerate(toks) if t == "index"]
+        if any((q - 1 in ps) or (q - 2 in ps) for q in qs):
+            truth.add(k2i[(d.repo, d.path, d.commit)])
+    assert sets[1] == truth
+    # serving twin is rank-identical
+    spark_hits = [(r["doc_id"], r["score"]) for r in Q.phrase_topk(
+        spark, gen, None, phrase, k=10, slop=1).collect()]
+    assert spark_hits == LocalSearcher(gen).search_phrase(phrase, k=10,
+                                                          slop=1)
+    # slop needs positions: the content path refuses it
+    with pytest.raises(ValueError, match="slop"):
+        Q.phrase_topk(spark, gen, _src, phrase, k=5, slop=1,
+                      use_positions=False)
+
+
+def test_highlight_positions(spark, pos_index, tiny_corpus):
+    from elastic_indexer4s_spark.functions.tokenizer import tokenize_py
+
+    gen, cfg, _src = pos_index
+    res = Q.highlight_topk(spark, gen, ["tokenIndex", "merge"],
+                           k=5).collect()
+    assert res
+    # top docs must equal the plain BM25 top-5 with identical scores
+    plain = Q.topk(spark, gen, ["tokenIndex", "merge"], 5).collect()
+    want = {r["doc_id"]: r["score"] for r in plain}
+    got_docs = {r["doc_id"] for r in res}
+    assert got_docs == set(want)
+    id2doc = {v: k for k, v in _key2id(spark, gen).items()}
+    bykey = {(d.repo, d.path, d.commit): d for d in tiny_corpus}
+    for r in res:
+        assert r["score"] == want[r["doc_id"]]
+        toks = tokenize_py(bykey[id2doc[r["doc_id"]]].content,
+                           cfg.tokenizer)
+        truth = [i for i, t in enumerate(toks) if t == r["term"]]
+        assert r["positions"] == ",".join(map(str, truth)), r
+    # every (doc, term-present) pair is covered
+    for did in got_docs:
+        toks = set(tokenize_py(bykey[id2doc[did]].content, cfg.tokenizer))
+        present = {t for t in ("token", "index", "merge") if t in toks}
+        assert {r["term"] for r in res if r["doc_id"] == did} == present
+
+
+def test_highlight_requires_positions(spark, tiny_index):
+    gen, cfg = tiny_index
+    with pytest.raises(ValueError, match="store_positions"):
+        Q.highlight_topk(spark, gen, ["merge"], k=5)
+
+
+def test_search_highlight_serving_parity(spark, pos_index):
+    gen, cfg, _src = pos_index
+    sp = Q.highlight_topk(spark, gen, ["tokenIndex", "merge"], k=5).collect()
+    srv = LocalSearcher(gen).search_highlight(["tokenIndex", "merge"], k=5)
+    a = [(r["doc_id"], r["score"], r["term"], r["positions"]) for r in sp]
+    b = [(d["doc_id"], d["score"], d["term"],
+          ",".join(map(str, d["positions"]))) for d in srv]
+    assert a == b and a
+
+
+def test_search_highlight_requires_positions(tiny_index):
+    gen, cfg = tiny_index
+    with pytest.raises(ValueError, match="store_positions"):
+        LocalSearcher(gen).search_highlight(["merge"], k=5)
+
+
+def test_phrase_multi_segments(spark, tiny_corpus, tmp_path_factory):
+    """Segment-spanning phrase query: per-segment index-native phrase,
+    merged — the streaming-serving shape for match_phrase."""
+    from elastic_indexer4s_spark.plans.catalog import GenerationCatalog
+    from elastic_indexer4s_spark.streaming.incremental import phrase_multi
+    from elastic_indexer4s_spark.operators.build import build_index
+    from elastic_indexer4s_spark.results import RunResult
+
+    root = str(tmp_path_factory.mktemp("pm") / "root")
+    cfg = IndexConfig(num_shards=2, block_size=16, store_positions=True)
+    cat = GenerationCatalog(root)
+    half = len(tiny_corpus) // 2
+    for i, chunk in enumerate((tiny_corpus[:half], tiny_corpus[half:])):
+        rows = [(d.repo, d.path, d.commit, d.lang, d.content)
+                for d in chunk]
+        df = spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, "
+                  "content string")
+        name = f"seg_{i}"
+        res = build_index(spark, df, cfg, cat.path(name))
+        assert isinstance(res, RunResult), str(res)
+        cat.register(name)
+        cat.add_alias("live-segments", name)
+    got = [(r["doc_id"], r["score"], r["segment"]) for r in
+           phrase_multi(spark, root, ["marker", "line"], k=20).collect()]
+    assert got
+    per = []
+    for i in range(2):
+        per += [(r["doc_id"], r["score"], f"seg_{i}") for r in
+                Q.phrase_topk(spark, cat.path(f"seg_{i}"), None,
+                              ["marker", "line"], k=20).collect()]
+    per.sort(key=lambda t: (-t[1], t[2], t[0]))
+    assert got == per[:20]
+
+
 def test_store_positions_rejects_unsupported_paths(spark, pos_index):
     gen, cfg, src = pos_index
     with pytest.raises(ValueError, match="store_positions"):
