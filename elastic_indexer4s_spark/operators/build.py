@@ -793,6 +793,23 @@ def build_index(spark: SparkSession, source_df: DataFrame, cfg: IndexConfig,
     t0 = time.monotonic()
     from ..sources.snapshot import (SnapshotDriftError, pinned_snapshot,
                                     write_pinned_snapshot)
+    if resume:
+        # config-drift guard: a resume re-encodes only the stale/missing
+        # shards, so the kept shards MUST have been built with the same
+        # config — resuming with a different tokenizer / shard count /
+        # store_positions would silently mix incompatible shards (e.g.
+        # position-less postings under a store_positions=True manifest,
+        # where phrase queries then fail on half the corpus)
+        meta_p = FS.join(generation_dir, "_meta.json")
+        if FS.exists(meta_p):
+            existing = FS.read_text(meta_p)
+            if existing != cfg.to_json():
+                raise ValueError(
+                    f"resume config mismatch for {generation_dir!r}: the "
+                    "generation was built with a different IndexConfig "
+                    "(tokenizer / num_shards / store_positions / ...); "
+                    "resume with the original config or build a NEW "
+                    "generation")
     if resume and snapshot is not None:
         pinned = pinned_snapshot(generation_dir)
         if pinned is not None and pinned.snapshot_id != snapshot.snapshot_id:

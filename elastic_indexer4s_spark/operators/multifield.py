@@ -92,11 +92,15 @@ def build_multifield_index(spark: SparkSession, source_df: DataFrame,
                                     F.col(spec.column).cast("string"))
         results[name] = build_index(spark, df_f, cfg_f,
                                     field_dir(base_dir, name), **build_kw)
-    FS.mkdirs(base_dir)
-    FS.write_json(FS.join(base_dir, "fields.json"),
-                  {"fields": {n: {"column": s.column}
-                              for n, s in fields.items()},
-                   "doc_key": list(base_cfg.doc_key)})
+    # the manifest is the multi-field PUBLISH marker: written only when
+    # every field built — a partial failure leaves no fields.json, so a
+    # reader cannot mistake a half-built field set for a served index
+    if all(isinstance(r, RunResult) for r in results.values()):
+        FS.mkdirs(base_dir)
+        FS.write_json(FS.join(base_dir, "fields.json"),
+                      {"fields": {n: {"column": s.column}
+                                  for n, s in fields.items()},
+                       "doc_key": list(base_cfg.doc_key)})
     return results
 
 

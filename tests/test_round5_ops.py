@@ -197,6 +197,61 @@ def test_catalog_lock_uses_cas_backend(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# resume config-drift guard / multifield publish marker (round-5 review)
+# ---------------------------------------------------------------------------
+
+def test_resume_config_drift_rejected(spark, tiny_corpus, tmp_path):
+    import dataclasses
+
+    from elastic_indexer4s_spark.config import IndexConfig
+    from elastic_indexer4s_spark.operators.build import build_index
+    from elastic_indexer4s_spark.results import RunResult
+
+    rows = [(d.repo, d.path, d.commit, d.lang, d.content)
+            for d in tiny_corpus[:40]]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    gen = str(tmp_path / "gen")
+    cfg = IndexConfig(num_shards=2, block_size=16)
+    assert isinstance(build_index(spark, df, cfg, gen), RunResult)
+    # same config resumes fine (no-op)
+    res = build_index(spark, df, cfg, gen, resume=True)
+    assert isinstance(res, RunResult)
+    # flipping store_positions (or any config field) on resume would mix
+    # incompatible shards — must fail loudly
+    cfg2 = dataclasses.replace(cfg, store_positions=True)
+    with pytest.raises(ValueError, match="config mismatch"):
+        build_index(spark, df, cfg2, gen, resume=True)
+
+
+def test_multifield_partial_failure_no_manifest(spark, tmp_path):
+    import os
+
+    from elastic_indexer4s_spark.config import IndexConfig
+    from elastic_indexer4s_spark.operators.multifield import (
+        FieldSpec, build_multifield_index)
+    from elastic_indexer4s_spark.results import RunResult
+
+    df = spark.createDataFrame(
+        [("r", "p", "c", "l", "some body", "a title")],
+        "repo string, path string, commit string, lang string, "
+        "body string, title string")
+
+    def boom(_text):
+        raise RuntimeError("analyzer down")
+
+    base = str(tmp_path / "mf")
+    res = build_multifield_index(
+        spark, df, IndexConfig(num_shards=1), base,
+        {"body": FieldSpec("body"), "title": FieldSpec("title")},
+        analyzer=boom)
+    assert not any(isinstance(r, RunResult) for r in res.values())
+    # the publish marker must NOT exist after a failed field build
+    assert not os.path.exists(os.path.join(base, "fields.json"))
+
+
+# ---------------------------------------------------------------------------
 # stopword regex escaping (ADVICE r4 #3)
 # ---------------------------------------------------------------------------
 
