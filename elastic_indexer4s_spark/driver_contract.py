@@ -561,6 +561,17 @@ def q_engine_phrase_local(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+def q_engine_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-aggregation analog (operators.query.facet_counts): per-lang
+    doc counts over the flagship query's full match set — the canonical
+    search+aggregations request.  Counts are exact integers, so the row
+    hash-verifies with no float discipline at all."""
+    from .operators.query import facet_counts
+
+    gen = _generation_for(spark, sf_dir)
+    return facet_counts(spark, gen, FLAGSHIP_TERMS, "lang", k_facets=10)
+
+
 def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boosted multi-field search (ES multi_match most_fields): two real
     per-field index generations (content + repo, each its own postings/
@@ -1228,6 +1239,21 @@ FROM top JOIN pos2 USING (doc_id)
 WHERE pos2.tok IN ({", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)})
 GROUP BY top.doc_id, top.score, pos2.tok"""
 
+    # facets: the flagship match set (docs containing >= 1 analyzed term)
+    # counted per lang — pure integer counts, the code-analyzer tf CTE
+    # gives the match set
+    oracles["engine_facets"] = f"""
+WITH toks AS (SELECT doc_id, {CODE_TOK} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY doc_id, tok
+),
+m AS (SELECT DISTINCT doc_id FROM tf
+      WHERE term IN ({", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)}))
+SELECT d.lang AS facet, count(*) AS n
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY n DESC, facet LIMIT 10"""
+
     # boosted multi_match: independent BM25 chains per field (content =
     # text, repo = the source column — both under the code analyzer, each
     # with its OWN corpus stats), per-field 6-dp round, then the exact
@@ -1721,6 +1747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_phrase_local": q_engine_phrase_local,
     "engine_phrase_slop": q_engine_phrase_slop,
     "engine_highlight": q_engine_highlight,
+    "engine_facets": q_engine_facets,
     "multi_match": q_multi_match,
     "lifecycle_retention": q_lifecycle_retention,
     "lifecycle_alias_gate": q_lifecycle_alias_gate,

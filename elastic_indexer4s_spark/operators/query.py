@@ -677,6 +677,66 @@ def _phrase_topk_index(spark: SparkSession, generation_dir: str,
         .limit(k)
 
 
+def facet_counts(spark: SparkSession, generation_dir: str,
+                 query_terms: list[str], facet_col: str,
+                 k_facets: int = 10, *, mode: str = "or",
+                 cfg: IndexConfig | None = None) -> DataFrame:
+    """ES *terms aggregation* analog over the match set: count every doc
+    matching the query per value of a doclen passthrough column →
+    DataFrame(facet string, n bigint), ordered (n desc, facet asc),
+    top ``k_facets`` buckets.
+
+    The reference's search surface is ES, where search + aggregations is
+    the canonical faceted-navigation request; the match set needs NO
+    scoring, so the plan skips BM25 entirely: the pushdown-filtered
+    postings rows stream through a decode that emits bare doc_ids
+    (``mode="or"`` → distinct; ``"and"`` → docs present under every
+    term), and the facet column rides a doc_id equi-join against the
+    column-pruned doclen table.  Scale shape: only ids ever shuffle —
+    never content — and the count is a two-phase hash aggregate; ES
+    computes the same thing as shard-local counts merged on the
+    coordinator, which is exactly what the map-side partials do here.
+    (An earlier draft reused ``topk`` with a giant k: Spark's
+    TakeOrderedAndProject allocates its bounded priority queue at k
+    capacity, so a 10^9 "no cutoff" k OOMs the JVM — set semantics must
+    avoid the top-k operator, not out-size it.)
+    """
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    cfg = cfg or load_config(generation_dir)
+    terms = analyze_query(query_terms, cfg.tokenizer)
+    empty = spark.createDataFrame([], "facet string, n bigint")
+    if not terms:
+        return empty
+    readers = _readers_for(spark, generation_dir)
+    postings = readers["postings"].filter(F.col("term").isin(terms))
+
+    def emit_docs(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                doc_ids, _tfs, _dls = decode_postings(row_to_enc(r))
+                yield pd.DataFrame({"doc_id": doc_ids})
+
+    ids = postings.mapInPandas(emit_docs, "doc_id long")
+    if mode == "and":
+        # each (shard, term) posting lists a doc at most once, so the
+        # per-doc row count equals the number of matched terms
+        matches = (ids.groupBy("doc_id")
+                   .agg(F.count(F.lit(1)).alias("_nt"))
+                   .filter(F.col("_nt") == len(terms)).select("doc_id"))
+    else:
+        matches = ids.distinct()
+    doclen = spark.read.parquet(FS.join(generation_dir, "doclen"))
+    if facet_col not in doclen.columns or facet_col in DOCLEN_INTERNAL_COLS:
+        raise ValueError(f"facet_col {facet_col!r} is not a passthrough "
+                         f"column of this generation's doclen")
+    return (matches.join(doclen.select("doc_id", facet_col), "doc_id")
+            .groupBy(F.col(facet_col).alias("facet"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("facet").asc())
+            .limit(k_facets))
+
+
 def highlight_topk(spark: SparkSession, generation_dir: str,
                    query_terms: list[str], k: int = 10, *,
                    wand: bool | str = False, mode: str = "or",

@@ -301,6 +301,27 @@ def test_highlight_requires_positions(spark, tiny_index):
         Q.highlight_topk(spark, gen, ["merge"], k=5)
 
 
+def test_facet_counts(spark, pos_index, tiny_corpus):
+    from collections import Counter
+
+    from elastic_indexer4s_spark.functions.tokenizer import tokenize_py
+
+    gen, cfg, _src = pos_index
+    got = {r["facet"]: r["n"] for r in
+           Q.facet_counts(spark, gen, ["tokenIndex", "merge"],
+                          "lang").collect()}
+    want = Counter()
+    for d in tiny_corpus:
+        toks = set(tokenize_py(d.content, cfg.tokenizer))
+        if {"token", "index", "merge"} & toks:
+            want[d.lang] += 1
+    assert got == dict(want)
+    with pytest.raises(ValueError, match="passthrough"):
+        Q.facet_counts(spark, gen, ["merge"], "sha256")
+    with pytest.raises(ValueError, match="passthrough"):
+        Q.facet_counts(spark, gen, ["merge"], "nosuchcol")
+
+
 def test_search_highlight_serving_parity(spark, pos_index):
     gen, cfg, _src = pos_index
     sp = Q.highlight_topk(spark, gen, ["tokenIndex", "merge"], k=5).collect()
