@@ -17,9 +17,17 @@ document has one id across all fields — no id-mapping join at query time.
 Scale shape:
 
 * build — one pass per field over the source (each a standard
-  ``build_index``: one shuffle, map-side TF combine); fields are
-  independent, so a driver can build them concurrently like the
-  doclen/postings overlap inside one build.
+  ``build_index``: one shuffle, map-side TF combine).  Builds run
+  sequentially by design: each saturates the cluster, so overlapping
+  them only splits resources.  The known optimization this trades away
+  is the single-document-pass build Lucene does (tokenize ALL fields in
+  one scan, one exchange keyed (field, shard), postings partitioned by
+  field) — it saves N-1 source scans for N fields at the cost of
+  threading ``field`` through the whole build/query/codec surface; for
+  the common 2-3-field case where secondary fields (path, repo, title)
+  are tiny fractions of the content bytes, the extra scans cost far
+  less than that complexity.  Revisit if a workload indexes many
+  content-sized fields.
 * query — per field, the standard pushdown-filtered postings scan + shard
   scatter-gather of :func:`operators.query.topk`; the combine is a
   groupBy over ≤ Σ_field |matches| (query-term-bounded, corpus-tiny) rows.
