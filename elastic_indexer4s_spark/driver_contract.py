@@ -561,6 +561,49 @@ def q_engine_phrase_local(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+#: prefix fixture: 's' matches 6 corpus terms (scan slow small sort spark
+#: stream) so max_expansions=5 actually FIRES the cap; fuzzy fixture is a
+#: transposition typo of 'join'
+PREFIX_Q, PREFIX_CAP = "s", 5
+FUZZY_Q, FUZZY_EDIT = "jion", 2
+
+
+def q_engine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES prefix-query analog (operators.query.prefix_topk): dictionary
+    expansion (alphabetical, capped — the cap fires on this fixture) +
+    BM25 disjunction over the expanded terms.  Deep margin + re-selection
+    on the oracle key."""
+    from .operators.query import prefix_topk
+
+    gen = _generation_for(spark, sf_dir)
+    res = prefix_topk(spark, gen, PREFIX_Q, k=100,
+                      max_expansions=PREFIX_CAP)
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
+    return (res.join(ids, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(10))
+
+
+def q_engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy-query analog (operators.query.fuzzy_topk): Levenshtein
+    dictionary expansion + BM25 disjunction — typo tolerance from the
+    index artifact alone."""
+    from .operators.query import fuzzy_topk
+
+    gen = _generation_for(spark, sf_dir)
+    res = fuzzy_topk(spark, gen, FUZZY_Q, k=100, max_edit=FUZZY_EDIT)
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
+    return (res.join(ids, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(10))
+
+
 def q_engine_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms-aggregation analog (operators.query.facet_counts): per-lang
     doc counts over the flagship query's full match set — the canonical
@@ -1239,6 +1282,26 @@ FROM top JOIN pos2 USING (doc_id)
 WHERE pos2.tok IN ({", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)})
 GROUP BY top.doc_id, top.score, pos2.tok"""
 
+    # prefix / fuzzy: the expansion runs against the same term universe
+    # (the dictionary = every corpus term), expressed here as the DISTINCT
+    # terms of the tf CTE, same alphabetical cap; scoring is the standard
+    # BM25 chain over the expanded term set
+    prefix_qs = (f"(SELECT 0 AS query_id, term FROM "
+                 f"(SELECT DISTINCT term FROM tf WHERE term LIKE "
+                 f"'{PREFIX_Q}%' ORDER BY term LIMIT {PREFIX_CAP}) _e) "
+                 "AS qsx(query_id, term)")
+    oracles["engine_prefix"] = f"""
+WITH {_bm25_sql(prefix_qs, CODE_TOK)}
+SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 10"""
+
+    fuzzy_qs = (f"(SELECT 0 AS query_id, term FROM "
+                f"(SELECT DISTINCT term FROM tf WHERE "
+                f"levenshtein(term, '{FUZZY_Q}') <= {FUZZY_EDIT} "
+                f"ORDER BY term LIMIT 50) _e) AS qsx(query_id, term)")
+    oracles["engine_fuzzy"] = f"""
+WITH {_bm25_sql(fuzzy_qs, CODE_TOK)}
+SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 10"""
+
     # facets: the flagship match set (docs containing >= 1 analyzed term)
     # counted per lang — pure integer counts, the code-analyzer tf CTE
     # gives the match set
@@ -1748,6 +1811,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_phrase_slop": q_engine_phrase_slop,
     "engine_highlight": q_engine_highlight,
     "engine_facets": q_engine_facets,
+    "engine_prefix": q_engine_prefix,
+    "engine_fuzzy": q_engine_fuzzy,
     "multi_match": q_multi_match,
     "lifecycle_retention": q_lifecycle_retention,
     "lifecycle_alias_gate": q_lifecycle_alias_gate,

@@ -677,6 +677,67 @@ def _phrase_topk_index(spark: SparkSession, generation_dir: str,
         .limit(k)
 
 
+def expand_terms(spark: SparkSession, generation_dir: str, *,
+                 prefix: str | None = None,
+                 fuzzy: str | None = None, max_edit: int = 2,
+                 max_expansions: int = 50) -> list[str]:
+    """Multi-term query expansion against the build-time term DICTIONARY
+    (the tiny (term, df) artifact — never the postings): terms matching a
+    ``prefix`` and/or within ``max_edit`` Levenshtein distance of
+    ``fuzzy``, alphabetically first ``max_expansions`` (a deterministic
+    cap, mirroring ES's ``index_order`` rewrite expansion limit).
+
+    The dictionary is sorted, coalesced, and query-term-scale — at
+    10^12 docs it is still only |vocabulary| rows, which is why ES/Lucene
+    resolve prefix/fuzzy against the term dictionary too."""
+    d = _readers_for(spark, generation_dir).get("dictionary")
+    if d is None:
+        raise ValueError("term expansion needs the build-time dictionary "
+                         "(pre-dictionary generation)")
+    if prefix is not None:
+        d = d.filter(F.col("term").startswith(prefix))
+    if fuzzy is not None:
+        d = d.filter(F.levenshtein(F.col("term"), F.lit(fuzzy)) <= max_edit)
+    rows = d.select("term").orderBy("term").limit(max_expansions).collect()
+    return [r["term"] for r in rows]
+
+
+def prefix_topk(spark: SparkSession, generation_dir: str, prefix: str,
+                k: int = 10, *, max_expansions: int = 50,
+                wand: bool | str = False,
+                cfg: IndexConfig | None = None) -> DataFrame:
+    """ES ``prefix`` / autocomplete analog with ``scoring_boolean``
+    rewrite semantics: expand the prefix against the term dictionary
+    (alphabetically first ``max_expansions``), then score the expanded
+    terms as a standard BM25 disjunction → DataFrame(doc_id long,
+    score double), ordered.  Like ES's prefix query, the input is a
+    TERM-LEVEL prefix — NOT analyzed — so it must be given in the
+    indexed (analyzed) term space.  Empty expansion → empty result."""
+    terms = expand_terms(spark, generation_dir, prefix=prefix,
+                         max_expansions=max_expansions)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return topk(spark, generation_dir, terms, k, wand=wand, cfg=cfg)
+
+
+def fuzzy_topk(spark: SparkSession, generation_dir: str, term: str,
+               k: int = 10, *, max_edit: int = 2, max_expansions: int = 50,
+               wand: bool | str = False,
+               cfg: IndexConfig | None = None) -> DataFrame:
+    """ES ``fuzzy`` analog (typo tolerance): expand the input to
+    dictionary terms within ``max_edit`` Levenshtein distance
+    (alphabetically first ``max_expansions``), score as a BM25
+    disjunction — ``scoring_boolean`` rewrite, like :func:`prefix_topk`;
+    the input is term-level (not analyzed), as in ES.  Levenshtein is
+    the plain edit distance (`F.levenshtein`), identical in Spark and
+    DuckDB, so the whole path hash-verifies."""
+    terms = expand_terms(spark, generation_dir, fuzzy=term,
+                         max_edit=max_edit, max_expansions=max_expansions)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return topk(spark, generation_dir, terms, k, wand=wand, cfg=cfg)
+
+
 def facet_counts(spark: SparkSession, generation_dir: str,
                  query_terms: list[str], facet_col: str,
                  k_facets: int = 10, *, mode: str = "or",

@@ -301,6 +301,37 @@ def test_highlight_requires_positions(spark, tiny_index):
         Q.highlight_topk(spark, gen, ["merge"], k=5)
 
 
+def test_prefix_and_fuzzy_expansion(spark, pos_index, tiny_corpus):
+    from collections import Counter
+
+    from elastic_indexer4s_spark.functions.tokenizer import tokenize_py
+
+    gen, cfg, _src = pos_index
+    vocab = Counter()
+    for d in tiny_corpus:
+        vocab.update(set(tokenize_py(d.content, cfg.tokenizer)))
+    # expansion = alphabetically-first cap over the true term universe
+    want = sorted(t for t in vocab if t.startswith("so"))[:5]
+    got = Q.expand_terms(spark, gen, prefix="so", max_expansions=5)
+    assert got == want and got
+    # a capped expansion drops the alphabetical tail deterministically
+    all_s = sorted(t for t in vocab if t.startswith("s"))
+    capped = Q.expand_terms(spark, gen, prefix="s", max_expansions=3)
+    assert capped == all_s[:3] and len(all_s) > 3
+    # fuzzy: a 1-edit typo of a real term finds it
+    fz = Q.expand_terms(spark, gen, fuzzy="mergee", max_edit=1)
+    assert "merge" in fz
+    # prefix_topk == plain BM25 over the expanded terms
+    a = [(r["doc_id"], r["score"]) for r in
+         Q.prefix_topk(spark, gen, "so", k=10, max_expansions=5).collect()]
+    b = [(r["doc_id"], r["score"]) for r in
+         Q.topk(spark, gen, want, 10).collect()]
+    assert a == b and a
+    # no match -> empty frames
+    assert Q.prefix_topk(spark, gen, "zzzz", k=5).count() == 0
+    assert Q.fuzzy_topk(spark, gen, "qqqqqqqqqq", k=5, max_edit=1).count() == 0
+
+
 def test_facet_counts(spark, pos_index, tiny_corpus):
     from collections import Counter
 
