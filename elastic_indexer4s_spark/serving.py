@@ -42,6 +42,25 @@ from .operators.query import (
 )
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Plain edit distance — the same function Spark's ``F.levenshtein``
+    and DuckDB's ``levenshtein`` compute (unit costs, no transposition),
+    so serving-tier fuzzy expansion matches the Spark/oracle paths
+    exactly."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return len(a) or len(b)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 class LocalSearcher:
     """Query a generation directory directly through pyarrow.
 
@@ -246,6 +265,46 @@ class LocalSearcher:
         merged = [sd for t in tops for sd in t]
         merged.sort(key=lambda sd: (-sd[0], sd[1]))
         return [(int(d), float(s)) for s, d in merged[:k]]
+
+    def expand_terms(self, *, prefix: str | None = None,
+                     fuzzy: str | None = None, max_edit: int = 2,
+                     max_expansions: int = 50) -> list[str]:
+        """Term-dictionary expansion on the serving tier (pyarrow read of
+        the vocabulary-sized dictionary artifact) — same semantics as
+        ``operators.query.expand_terms``: alphabetically-first
+        ``max_expansions`` terms matching the prefix and/or within
+        ``max_edit`` plain Levenshtein distance."""
+        if self.dictionary is None:
+            raise ValueError("term expansion needs the build-time "
+                             "dictionary (pre-dictionary generation)")
+        terms = sorted(
+            self.dictionary.to_table(columns=["term"])
+            .column("term").to_pylist())
+        if prefix is not None:
+            terms = [t for t in terms if t.startswith(prefix)]
+        if fuzzy is not None:
+            terms = [t for t in terms
+                     if _levenshtein(t, fuzzy) <= max_edit]
+        return terms[:max_expansions]
+
+    def search_prefix(self, prefix: str, k: int = 10, *,
+                      max_expansions: int = 50,
+                      wand: bool = False) -> list[tuple[int, float]]:
+        """ES prefix query on the serving tier: dictionary expansion +
+        BM25 disjunction — rank/score-identical to
+        ``operators.query.prefix_topk`` (pinned by pytest)."""
+        terms = self.expand_terms(prefix=prefix,
+                                  max_expansions=max_expansions)
+        return self.search(terms, k, wand=wand) if terms else []
+
+    def search_fuzzy(self, term: str, k: int = 10, *, max_edit: int = 2,
+                     max_expansions: int = 50,
+                     wand: bool = False) -> list[tuple[int, float]]:
+        """ES fuzzy query on the serving tier: Levenshtein expansion +
+        BM25 disjunction — twin of ``operators.query.fuzzy_topk``."""
+        terms = self.expand_terms(fuzzy=term, max_edit=max_edit,
+                                  max_expansions=max_expansions)
+        return self.search(terms, k, wand=wand) if terms else []
 
     def search_highlight(self, query_terms: list[str], k: int = 10, *,
                          wand: bool = False,

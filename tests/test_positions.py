@@ -332,6 +332,32 @@ def test_prefix_and_fuzzy_expansion(spark, pos_index, tiny_corpus):
     assert Q.fuzzy_topk(spark, gen, "qqqqqqqqqq", k=5, max_edit=1).count() == 0
 
 
+def test_prefix_fuzzy_serving_parity(spark, pos_index):
+    from elastic_indexer4s_spark.serving import LocalSearcher
+
+    gen, cfg, _src = pos_index
+    srv = LocalSearcher(gen)
+    assert srv.expand_terms(prefix="so", max_expansions=5) == \
+        Q.expand_terms(spark, gen, prefix="so", max_expansions=5)
+    assert srv.expand_terms(fuzzy="mergee", max_edit=1) == \
+        Q.expand_terms(spark, gen, fuzzy="mergee", max_edit=1)
+    a = [(r["doc_id"], r["score"]) for r in
+         Q.prefix_topk(spark, gen, "so", k=10, max_expansions=5).collect()]
+    assert srv.search_prefix("so", k=10, max_expansions=5) == a and a
+    b = [(r["doc_id"], r["score"]) for r in
+         Q.fuzzy_topk(spark, gen, "mergee", k=10, max_edit=1).collect()]
+    assert srv.search_fuzzy("mergee", k=10, max_edit=1) == b and b
+    # pure-Python levenshtein == Spark's (sampled over the vocabulary)
+    from elastic_indexer4s_spark.serving import _levenshtein
+    from pyspark.sql import functions as SF
+    d = spark.read.parquet(gen + "/dictionary").limit(200)
+    rows = d.select("term", SF.levenshtein("term",
+                                           SF.lit("mergee")).alias("lv")
+                    ).collect()
+    for r in rows:
+        assert _levenshtein(r["term"], "mergee") == r["lv"], r["term"]
+
+
 def test_facet_counts(spark, pos_index, tiny_corpus):
     from collections import Counter
 
