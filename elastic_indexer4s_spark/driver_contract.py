@@ -561,6 +561,29 @@ def q_engine_phrase_local(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+#: bool-query fixture: must=join filters AND scores, should terms only
+#: boost, must_not=customer excludes — the canonical ES bool shape
+BOOL_MUST, BOOL_SHOULD, BOOL_NOT = ["join"], ["spark", "window"], ["customer"]
+
+
+def q_engine_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool-query analog (operators.query.bool_topk): conjunctive must
+    + boosting should + excluding must_not over the real index, one shard
+    scatter-gather.  Deep margin + re-selection on the oracle key."""
+    from .operators.query import bool_topk
+
+    gen = _generation_for(spark, sf_dir)
+    res = bool_topk(spark, gen, must=BOOL_MUST, should=BOOL_SHOULD,
+                    must_not=BOOL_NOT, k=100)
+    doclen = spark.read.parquet(os.path.join(gen, "doclen"))
+    ids = doclen.select(F.col("doc_id"), _orig_id_from_path().alias("orig_id"))
+    return (res.join(ids, "doc_id")
+            .select(F.col("orig_id").alias("doc_id"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(10))
+
+
 #: prefix fixture: 's' matches 6 corpus terms (scan slow small sort spark
 #: stream) so max_expansions=5 actually FIRES the cap; fuzzy fixture is a
 #: transposition typo of 'join'
@@ -1282,6 +1305,27 @@ FROM top JOIN pos2 USING (doc_id)
 WHERE pos2.tok IN ({", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)})
 GROUP BY top.doc_id, top.score, pos2.tok"""
 
+    # bool query: BM25 over (must ∪ should), conjunctive filter on the
+    # must terms (count of distinct matched must terms == |must|),
+    # anti-join exclusion on must_not
+    bool_score_terms = sorted(set(BOOL_MUST) | set(BOOL_SHOULD))
+    bool_values = ("(VALUES "
+                   + ", ".join(f"(0, '{t}')" for t in bool_score_terms)
+                   + ") AS qs(query_id, term)")
+    oracles["engine_bool"] = f"""
+WITH {_bm25_sql(bool_values, CODE_TOK)},
+m AS (SELECT doc_id FROM tf
+      WHERE term IN ({", ".join(f"'{t}'" for t in BOOL_MUST)})
+      GROUP BY doc_id
+      HAVING count(DISTINCT term) = {len(set(BOOL_MUST))}),
+x AS (SELECT DISTINCT doc_id FROM tf
+      WHERE term IN ({", ".join(f"'{t}'" for t in BOOL_NOT)}))
+SELECT agg.doc_id, agg.score FROM agg
+JOIN m ON agg.doc_id = m.doc_id
+LEFT JOIN x ON agg.doc_id = x.doc_id
+WHERE x.doc_id IS NULL
+ORDER BY agg.score DESC, agg.doc_id LIMIT 10"""
+
     # prefix / fuzzy: the expansion runs against the same term universe
     # (the dictionary = every corpus term), expressed here as the DISTINCT
     # terms of the tf CTE, same alphabetical cap; scoring is the standard
@@ -1813,6 +1857,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "engine_facets": q_engine_facets,
     "engine_prefix": q_engine_prefix,
     "engine_fuzzy": q_engine_fuzzy,
+    "engine_bool": q_engine_bool,
     "multi_match": q_multi_match,
     "lifecycle_retention": q_lifecycle_retention,
     "lifecycle_alias_gate": q_lifecycle_alias_gate,

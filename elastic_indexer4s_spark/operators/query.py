@@ -677,6 +677,122 @@ def _phrase_topk_index(spark: SparkSession, generation_dir: str,
         .limit(k)
 
 
+def _shard_bool(encs: list[tuple[str, EncodedPostings]], must: list[str],
+                should: list[str], must_not: list[str],
+                idfs: dict[str, float], k1: float, b: float,
+                avg_dl: float, k: int) -> pd.DataFrame:
+    """ES ``bool`` query over one shard's postings: docs containing EVERY
+    ``must`` term and NO ``must_not`` term, scored by the BM25 sum of the
+    (must ∪ should) terms they contain; with no ``must`` terms the match
+    set is the union of ``should`` matches (pure disjunction).  Same
+    decode + searchsorted machinery and term-ascending fp accumulation as
+    the other shard kernels."""
+    by_term = dict(encs)
+    if any(t not in by_term for t in must):
+        return _EMPTY_TOPK.copy()
+    dec: dict[str, tuple] = {}
+    for t in sorted(set(must) | set(should) | set(must_not)):
+        if t in by_term:
+            doc_ids, tfs, dls = decode_postings(by_term[t])
+            dec[t] = (doc_ids, tfs, dls)
+    if must:
+        base = dec[must[0]][0]
+        for t in must[1:]:
+            base = base[_isin_sorted(base, dec[t][0])]
+            if base.size == 0:
+                return _EMPTY_TOPK.copy()
+    else:
+        parts = [dec[t][0] for t in should if t in dec]
+        if not parts:
+            return _EMPTY_TOPK.copy()
+        base = np.unique(np.concatenate(parts))
+    for t in must_not:
+        if t in dec:
+            base = base[~_isin_sorted(base, dec[t][0])]
+            if base.size == 0:
+                return _EMPTY_TOPK.copy()
+    score = np.zeros(base.size, dtype=np.float64)
+    for t in sorted(set(must) | set(should)):
+        if t not in dec:
+            continue
+        doc_ids, tfs, dls = dec[t]
+        idx = np.searchsorted(doc_ids, base)
+        ok = idx < doc_ids.size
+        ok[ok] = doc_ids[idx[ok]] == base[ok]
+        sel = idx[ok]
+        score[ok] += _score_arrays(tfs[sel], dls[sel], idfs[t],
+                                   k1, b, avg_dl)
+    order = np.lexsort((base, -score))[:k]
+    return pd.DataFrame({"doc_id": base[order],
+                         "score": score[order]}).astype(
+        {"doc_id": "int64", "score": "float64"})
+
+
+def bool_topk(spark: SparkSession, generation_dir: str, *,
+              must: list[str] | None = None,
+              should: list[str] | None = None,
+              must_not: list[str] | None = None,
+              k: int = 10, cfg: IndexConfig | None = None) -> DataFrame:
+    """ES ``bool`` query analog → DataFrame(doc_id long, score double),
+    ordered: conjunction over the analyzed ``must`` tokens, exclusion of
+    any ``must_not`` token, BM25 score = sum over the (must ∪ should)
+    tokens the doc contains — ES's must-filters-and-scores /
+    should-only-boosts / must_not-filters semantics for term clauses.
+
+    One Spark action, same plan family as :func:`topk`: the postings scan
+    filters on the union of all three legs' terms, the dictionary
+    broadcast carries global dfs, and each shard runs the vectorized
+    ``_shard_bool`` kernel.  A shard-local intersection/exclusion is the
+    global one because every doc lives in exactly one shard.
+    """
+    cfg = cfg or load_config(generation_dir)
+    must_t = analyze_query(must or [], cfg.tokenizer)
+    should_t = analyze_query(should or [], cfg.tokenizer)
+    not_t = analyze_query(must_not or [], cfg.tokenizer)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not must_t and not should_t:
+        return empty
+    overlap = set(not_t) & (set(must_t) | set(should_t))
+    if overlap:
+        raise ValueError(f"terms cannot be both excluded and matched: "
+                         f"{sorted(overlap)}")
+    stats = load_stats(generation_dir)
+    n_docs, avg_dl = stats["num_docs"], stats["avg_dl"]
+    if n_docs == 0 or avg_dl == 0:
+        return empty
+    all_terms = sorted(set(must_t) | set(should_t) | set(not_t))
+    readers = _readers_for(spark, generation_dir)
+    postings = readers["postings"].filter(F.col("term").isin(all_terms))
+    idfs: dict[str, float] | None
+    if "dictionary" in readers:
+        d = (readers["dictionary"]
+             .filter(F.col("term").isin(all_terms))
+             .withColumnRenamed("df", "df_g"))
+        postings = postings.join(F.broadcast(d), "term", "inner")
+        idfs = None
+    else:
+        dfs = global_dfs(postings)
+        if not dfs:
+            return empty
+        idfs = {t: _idf(n_docs, df) for t, df in dfs.items()}
+    k1, b = cfg.k1, cfg.b
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if idfs is None:
+            local_idfs = {t: _idf(n_docs, int(g))
+                          for t, g in zip(pdf["term"], pdf["df_g"])}
+        else:
+            local_idfs = idfs
+        encs = [(r["term"], row_to_enc(r)) for _, r in pdf.iterrows()]
+        return _shard_bool(encs, must_t, should_t, not_t, local_idfs,
+                           k1, b, float(avg_dl), k)
+
+    local = postings.groupBy("shard").applyInPandas(
+        score_shard, schema="doc_id long, score double")
+    return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()) \
+        .limit(k)
+
+
 def expand_terms(spark: SparkSession, generation_dir: str, *,
                  prefix: str | None = None,
                  fuzzy: str | None = None, max_edit: int = 2,

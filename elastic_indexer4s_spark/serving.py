@@ -31,6 +31,7 @@ from .config import IndexConfig
 from .functions.codec import row_to_enc
 from .operators.query import (
     _idf,
+    _shard_bool,
     _shard_exhaustive,
     _shard_phrase,
     _shard_wand,
@@ -255,6 +256,54 @@ class LocalSearcher:
         def score_shard(encs) -> list[tuple[float, int]]:
             top = _shard_phrase(encs, seq, idfs, self.cfg.k1, self.cfg.b,
                                 float(self.avg_dl), k, slop=slop)
+            return list(zip(top["score"], top["doc_id"]))
+
+        groups = list(by_shard.values())
+        if self._pool is not None and len(groups) > 1:
+            tops = list(self._pool.map(score_shard, groups))
+        else:
+            tops = [score_shard(g) for g in groups]
+        merged = [sd for t in tops for sd in t]
+        merged.sort(key=lambda sd: (-sd[0], sd[1]))
+        return [(int(d), float(s)) for s, d in merged[:k]]
+
+    def search_bool(self, *, must: list[str] | None = None,
+                    should: list[str] | None = None,
+                    must_not: list[str] | None = None,
+                    k: int = 10) -> list[tuple[int, float]]:
+        """ES ``bool`` query on the serving tier — twin of
+        ``operators.query.bool_topk`` (same ``_shard_bool`` kernel:
+        must filters+scores, should boosts, must_not excludes),
+        rank/score-identical by pytest."""
+        import pyarrow.dataset as ds
+
+        must_t = analyze_query(must or [], self.cfg.tokenizer)
+        should_t = analyze_query(should or [], self.cfg.tokenizer)
+        not_t = analyze_query(must_not or [], self.cfg.tokenizer)
+        if not must_t and not should_t:
+            return []
+        overlap = set(not_t) & (set(must_t) | set(should_t))
+        if overlap:
+            raise ValueError(f"terms cannot be both excluded and "
+                             f"matched: {sorted(overlap)}")
+        if self.num_docs == 0 or self.avg_dl == 0:
+            return []
+        all_terms = sorted(set(must_t) | set(should_t) | set(not_t))
+        tbl = self.postings.to_table(
+            filter=ds.field("term").isin(all_terms))
+        if tbl.num_rows == 0:
+            return []
+        dfs = self._dfs(all_terms, tbl)
+        idfs = {t: _idf(self.num_docs, df) for t, df in dfs.items()}
+        by_shard: dict[int, list] = {}
+        for r in tbl.to_pylist():
+            by_shard.setdefault(int(r["shard"]), []).append(
+                (r["term"], row_to_enc(r)))
+
+        def score_shard(encs) -> list[tuple[float, int]]:
+            top = _shard_bool(encs, must_t, should_t, not_t, idfs,
+                              self.cfg.k1, self.cfg.b,
+                              float(self.avg_dl), k)
             return list(zip(top["score"], top["doc_id"]))
 
         groups = list(by_shard.values())

@@ -301,6 +301,48 @@ def test_highlight_requires_positions(spark, tiny_index):
         Q.highlight_topk(spark, gen, ["merge"], k=5)
 
 
+def test_bool_query_semantics(spark, pos_index, tiny_corpus):
+    from elastic_indexer4s_spark.functions.tokenizer import tokenize_py
+    from elastic_indexer4s_spark.serving import LocalSearcher
+
+    gen, cfg, _src = pos_index
+    must, should, must_not = ["token"], ["merge", "index"], ["stream"]
+    res = Q.bool_topk(spark, gen, must=must, should=should,
+                      must_not=must_not, k=1000).collect()
+    got = {r["doc_id"]: r["score"] for r in res}
+    assert got
+    # ground truth membership
+    k2i = _key2id(spark, gen)
+    scores_all = {r["doc_id"]: r["score"] for r in Q.topk(
+        spark, gen, ["token", "merge", "index"], k=100000).collect()}
+    for d in tiny_corpus:
+        toks = set(tokenize_py(d.content, cfg.tokenizer))
+        did = k2i[(d.repo, d.path, d.commit)]
+        member = "token" in toks and "stream" not in toks
+        assert (did in got) == member, (did, toks & {"token", "stream"})
+        if member:
+            # score equals the plain OR-BM25 over the scoring terms
+            assert got[did] == scores_all[did]
+    # must-less bool = pure disjunction over should
+    a = [(r["doc_id"], r["score"]) for r in Q.bool_topk(
+        spark, gen, should=["merge", "index"], k=20).collect()]
+    b = [(r["doc_id"], r["score"]) for r in Q.topk(
+        spark, gen, ["merge", "index"], 20).collect()]
+    assert a == b
+    # serving twin parity
+    srv = LocalSearcher(gen)
+    spark_hits = [(r["doc_id"], r["score"]) for r in Q.bool_topk(
+        spark, gen, must=must, should=should, must_not=must_not,
+        k=10).collect()]
+    assert srv.search_bool(must=must, should=should, must_not=must_not,
+                           k=10) == spark_hits
+    # conflicting legs rejected
+    with pytest.raises(ValueError, match="excluded and matched"):
+        Q.bool_topk(spark, gen, must=["token"], must_not=["token"], k=5)
+    with pytest.raises(ValueError, match="excluded and matched"):
+        srv.search_bool(must=["token"], must_not=["token"], k=5)
+
+
 def test_prefix_and_fuzzy_expansion(spark, pos_index, tiny_corpus):
     from collections import Counter
 
